@@ -1,0 +1,303 @@
+"""Typed, hashable configuration for the TPU-native SC-LeGO-LOAM engine.
+
+The reference keeps all of this as compile-time ``extern const`` globals in
+``LeGO-LOAM/include/utility.h:55-141`` (sensor presets are commented-out
+blocks) and as constants in the ``SCManager`` class body
+(``include/Scancontext.h:77-96``).  Here every knob is a frozen dataclass so
+it can be passed as a jit-static argument; the shape-bearing fields
+(``n_scan``, ``horizon_scan``, pad sizes, Scan Context shape) become XLA
+specialization keys, which is the TPU-native analog of the reference's
+recompile-to-change-sensor model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+def _d(**kw):
+    return dataclasses.field(default_factory=lambda: kw)
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """Sensor geometry (reference: utility.h:66-106 presets).
+
+    Angles are in degrees, matching the reference's convention; radians are
+    derived properties.
+    """
+
+    name: str = "os1-64"
+    n_scan: int = 64
+    horizon_scan: int = 1024
+    ang_res_x: float = 360.0 / 1024
+    ang_res_y: float = 33.2 / 63
+    ang_bottom: float = 16.6 + 0.1
+    ground_scan_ind: int = 15          # utility.h:107
+    scan_period: float = 0.1           # utility.h:111
+    min_range: float = 1.0             # utility.h:115 sensorMinimumRange
+    max_range: float = 120.0           # cull for synthetic / projection sanity
+    mount_angle: float = 0.0           # utility.h:116 sensorMountAngle
+
+    @property
+    def ang_res_x_rad(self) -> float:
+        return math.radians(self.ang_res_x)
+
+    @property
+    def ang_res_y_rad(self) -> float:
+        return math.radians(self.ang_res_y)
+
+    @property
+    def max_points(self) -> int:
+        return self.n_scan * self.horizon_scan
+
+
+# Sensor presets mirroring utility.h:66-106.
+OS1_64 = LidarConfig()
+VLP_16 = LidarConfig(
+    name="vlp-16", n_scan=16, horizon_scan=1800, ang_res_x=0.2,
+    ang_res_y=2.0, ang_bottom=15.0 + 0.1, ground_scan_ind=7,
+)
+HDL_32E = LidarConfig(
+    name="hdl-32e", n_scan=32, horizon_scan=1800, ang_res_x=360.0 / 1800,
+    ang_res_y=41.33 / 31, ang_bottom=30.67, ground_scan_ind=20,
+)
+OS1_16 = LidarConfig(
+    name="os1-16", n_scan=16, horizon_scan=1024, ang_res_x=360.0 / 1024,
+    ang_res_y=33.2 / 15, ang_bottom=16.6 + 0.1, ground_scan_ind=7,
+)
+VLS_128 = LidarConfig(
+    name="vls-128", n_scan=128, horizon_scan=1800, ang_res_x=0.2,
+    ang_res_y=0.3, ang_bottom=25.0, ground_scan_ind=10,
+)
+
+PRESETS = {c.name: c for c in (OS1_64, VLP_16, HDL_32E, OS1_16, VLS_128)}
+
+
+@dataclass(frozen=True)
+class SegmentationConfig:
+    """Ground removal + BFS cluster segmentation (utility.h:117-121)."""
+
+    ground_angle_deg: float = 10.0       # imageProjection.cpp:280-285
+    segment_theta_deg: float = 60.0      # utility.h:117 segmentTheta
+    valid_point_num: int = 5             # utility.h:118
+    valid_line_num: int = 3              # utility.h:119
+    min_cluster_size: int = 30           # imageProjection.cpp:440
+    ground_keep_stride: int = 5          # imageProjection.cpp:337 (every 5th ground pt)
+    outlier_keep_stride: int = 5         # imageProjection.cpp:331 (every 5th outlier)
+    # Parallel flood-fill: label-propagation sweeps per pointer-jump round and
+    # max rounds.  64x1024 components converge in far fewer rounds thanks to
+    # pointer jumping (see ops/segmentation.py).
+    max_label_rounds: int = 16
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Edge/planar feature extraction (utility.h:124-130, fA.cpp:680-784)."""
+
+    sections: int = 6                    # utility.h:126 sectionsTotal
+    edge_per_section: int = 2            # utility.h:124 edgeFeatureNum
+    edge_less_per_section: int = 20      # fA.cpp:713 (<=20 less-sharp)
+    surf_per_section: int = 4            # utility.h:125 surfFeatureNum
+    edge_threshold: float = 0.1          # utility.h:127
+    surf_threshold: float = 0.1          # utility.h:128
+    suppress_halfwidth: int = 5          # fA.cpp:720-732 (+-5 neighbors)
+    suppress_col_gap: int = 10           # fA.cpp:721 columnDiff > 10 stops
+    occlusion_col_gap: int = 10          # fA.cpp:653
+    occlusion_range_gap: float = 0.3     # fA.cpp:655-663
+    parallel_beam_ratio: float = 0.02    # fA.cpp:673-675
+    less_flat_leaf: float = 0.2          # fA.cpp:225 downSizeFilter 0.2
+    # Curvature window: +-5 neighbors in compacted ring order (fA.cpp:623-629).
+    curvature_halfwidth: int = 5
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Two-stage 3-DOF scan-to-scan LM (fA.cpp:1270-1478,1666-1695)."""
+
+    # Motion-interpolated de-skew p_start = exp(s*xi) p (fA.cpp:860-883).
+    # True for real spinning-lidar data (points are time-distorted); False
+    # for instantaneous clouds (synthetic snapshots), where s == 1.
+    deskew: bool = True
+    max_iterations: int = 25             # fA.cpp:1671,1684
+    research_every: int = 5              # fA.cpp:1052,1163 (kd re-search cadence)
+    nearest_sq_dist: float = 25.0        # utility.h:129 nearestFeatureSearchSqDist
+    near_ring_span: float = 2.5          # fA.cpp:1082,1190 (ring window)
+    robust_after_iter: int = 5           # fA.cpp:1137,1251
+    robust_slope: float = 1.8            # fA.cpp:1138 s = 1 - 1.8|d|
+    robust_min_weight: float = 0.1       # fA.cpp:1142,1256 (s <= 0.1 dropped)
+    eig_threshold: float = 10.0          # fA.cpp:1338 (degeneracy)
+    delta_rot_deg: float = 0.1           # fA.cpp:1367-1376 convergence
+    delta_trans_cm: float = 0.1
+    min_feature_points: int = 10         # fA.cpp:1668 (sharp corners)
+    min_surf_points: int = 100           # fA.cpp:1677 (flat surfs)
+    lm_step_scale: float = 0.05          # fA.cpp:1322 (B = -0.05 * d)
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map 6-DOF LM + keyframe logic (mapOptmization.cpp)."""
+
+    max_iterations: int = 10             # mO.cpp:1508
+    keyframe_dist: float = 0.3           # mO.cpp:1531-1538
+    process_interval: float = 0.3        # utility.h:109 mappingProcessInterval
+    submap_recent_num: int = 50          # utility.h:134 (loop-closure ON path)
+    submap_search_radius: float = 50.0   # utility.h:133 (OFF path)
+    corner_leaf: float = 0.2             # mO.cpp:262
+    surf_leaf: float = 0.3               # mO.cpp:264
+    outlier_leaf: float = 0.4            # mO.cpp:265
+    sc_input_leaf: float = 0.5           # mO.cpp:263 downSizeFilterScancontext
+    keypose_leaf: float = 1.0            # mO.cpp:268 surrounding key poses
+    knn: int = 5                         # mO.cpp:1283,1355 (5-NN)
+    max_nn_sq_dist: float = 1.0          # mO.cpp:1287,1359
+    corner_eig_ratio: float = 3.0        # mO.cpp:1303 (l0 > 3*l1)
+    plane_fit_tol: float = 0.2           # mO.cpp:1374
+    robust_slope: float = 0.9            # mO.cpp:1332,1384
+    robust_min_weight: float = 0.1       # mO.cpp:1335,1387
+    eig_threshold: float = 100.0         # mO.cpp:1459
+    delta_rot_deg: float = 0.05          # mO.cpp:1495
+    delta_trans_cm: float = 0.05
+    min_correspondences: int = 50        # mO.cpp:1410
+    min_submap_points: int = 100         # mO.cpp:1503 (corner>10 && surf>100)
+
+
+@dataclass(frozen=True)
+class ScanContextConfig:
+    """Scan Context descriptor + retrieval (Scancontext.h:77-96)."""
+
+    num_ring: int = 20
+    num_sector: int = 60
+    max_radius: float = 80.0
+    lidar_height: float = 2.0
+    exclude_recent: int = 50             # NUM_EXCLUDE_RECENT
+    num_candidates: int = 10             # NUM_CANDIDATES_FROM_TREE
+    search_ratio: float = 0.1            # SEARCH_RATIO
+    dist_threshold: float = 0.5          # SC_DIST_THRES
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Radius-search + SC loop detection & ICP verification (mO.cpp:829-1110)."""
+
+    enabled: bool = True                 # utility.h:108 loopClosureEnableFlag
+    rs_search_radius: float = 20.0       # utility.h:137
+    rs_time_gap: float = 30.0            # mO.cpp:868 (>= 30 s)
+    history_num: int = 25                # utility.h:138 (+-25 keyframes)
+    history_leaf: float = 0.3            # mO.cpp:267 downSizeFilterHistoryKeyFrames
+    fitness_threshold: float = 1.5       # utility.h:139
+    icp_max_iterations: int = 30         # PCL default-ish (mO.cpp:1007: 100)
+    icp_eps: float = 1e-6                # mO.cpp:1009
+    cauchy_k: float = 1.0                # mO.cpp:995 Cauchy::Create(1)
+    loop_noise_var: float = 0.5          # mO.cpp:991 noiseScore
+    check_every_keyframes: int = 3       # host cadence analog of the 1 Hz thread
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    """Pose-graph optimizer replacing iSAM2 (mO.cpp:241-244,1525-1664)."""
+
+    prior_var: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)  # mO.cpp:368-371
+    odom_var: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    max_gn_iterations: int = 20
+    damping: float = 1e-6
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static pad sizes — the jit-shape contract of the whole engine.
+
+    The reference grows std::vectors unboundedly (mO.cpp:88-90); here every
+    bank is preallocated with a high-water mask so shapes stay jit-static.
+    """
+
+    max_keyframes: int = 512
+    # Per-scan feature pads (post extraction / downsample).
+    sharp_pad: int = 1024                # <= 2*6*n_scan = 768 for 64 rings
+    flat_pad: int = 2048                 # <= 4*6*64 = 1536
+    less_sharp_pad: int = 4096           # <= 20*6*64 (pre-DS) -> DS'd
+    less_flat_pad: int = 8192            # less-flat after 0.2 voxel DS
+    outlier_pad: int = 4096              # outlier cloud after DS
+    # Keyframe-store pads (post mapping-side voxel DS).
+    kf_corner_pad: int = 2048
+    kf_surf_pad: int = 8192
+    kf_outlier_pad: int = 4096
+    # Submap pads (union of submap_recent_num keyframes, post voxel DS).
+    submap_corner_pad: int = 16384
+    submap_surf_pad: int = 65536
+    # Loop-closure history submap pad.
+    history_pad: int = 32768
+    icp_query_pad: int = 8192
+    # Scan Context input cloud pad (raw cloud after 0.5 m DS).
+    sc_cloud_pad: int = 16384
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level bundle. Hashable -> usable as a jit static argument."""
+
+    lidar: LidarConfig = OS1_64
+    seg: SegmentationConfig = SegmentationConfig()
+    feat: FeatureConfig = FeatureConfig()
+    odom: OdometryConfig = OdometryConfig()
+    mapping: MappingConfig = MappingConfig()
+    sc: ScanContextConfig = ScanContextConfig()
+    loop: LoopClosureConfig = LoopClosureConfig()
+    posegraph: PoseGraphConfig = PoseGraphConfig()
+    cap: CapacityConfig = CapacityConfig()
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> PipelineConfig:
+    return PipelineConfig()
+
+
+def vlp16_config() -> PipelineConfig:
+    """16-beam sparse-LiDAR variant (BASELINE.json config 5)."""
+    return PipelineConfig(
+        lidar=VLP_16,
+        cap=CapacityConfig(
+            sharp_pad=256, flat_pad=512, less_sharp_pad=2048,
+            less_flat_pad=4096, outlier_pad=2048,
+            kf_corner_pad=1024, kf_surf_pad=4096, kf_outlier_pad=2048,
+            submap_corner_pad=8192, submap_surf_pad=32768,
+            history_pad=16384, icp_query_pad=4096, sc_cloud_pad=8192,
+        ),
+    )
+
+
+def synthetic_config() -> PipelineConfig:
+    """Full-size config for instantaneous (undistorted) synthetic clouds."""
+    return PipelineConfig(odom=OdometryConfig(deskew=False))
+
+
+def tiny_test_config() -> PipelineConfig:
+    """Small shapes for fast CPU tests (16 x 128 grid); synthetic
+    (instantaneous) clouds, so de-skew is off."""
+    lidar = LidarConfig(
+        name="tiny", n_scan=16, horizon_scan=128, ang_res_x=360.0 / 128,
+        ang_res_y=33.2 / 15, ang_bottom=16.7, ground_scan_ind=7,
+    )
+    return PipelineConfig(
+        lidar=lidar,
+        # 16-ring grid (8 ground rows, 128 cols): the every-5th ground
+        # subsampling plus +-5 pick suppression leaves only ~13 flat
+        # features per scan, so scale the 64-ring minimum guards down.
+        # Likewise the absolute degeneracy eigen-thresholds (10/100 in the
+        # reference) assume hundreds of correspondences; H eigenvalues
+        # scale linearly with correspondence count (~1/30 here).
+        odom=OdometryConfig(deskew=False, min_surf_points=8,
+                            eig_threshold=0.3),
+        mapping=MappingConfig(eig_threshold=5.0, min_correspondences=30),
+        cap=CapacityConfig(
+            max_keyframes=64,
+            sharp_pad=256, flat_pad=512, less_sharp_pad=1024,
+            less_flat_pad=2048, outlier_pad=1024,
+            kf_corner_pad=512, kf_surf_pad=2048, kf_outlier_pad=1024,
+            submap_corner_pad=4096, submap_surf_pad=8192,
+            history_pad=8192, icp_query_pad=2048, sc_cloud_pad=4096,
+        ),
+    )

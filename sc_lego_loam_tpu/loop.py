@@ -1,0 +1,104 @@
+"""Loop detection & verification (reference C17: mapOptmization.cpp:829-1110).
+
+Two detectors, as in the reference:
+- RS: radius search over key poses (20 m, >=30 s time gap, oldest wins,
+  mO.cpp:854-873) — here a masked argmin over the pose bank;
+- SC: Scan Context retrieval (models/scan_context.py).
+
+Verification: ICP of the current keyframe cloud against a +-history_num
+keyframe submap (mO.cpp:896-949), accepted if fitness < 1.5 (utility.h:139).
+The resulting between-factor measurement is the geometrically exact
+Z = (dT @ X_place)^-1 @ X_cand, where X_place is the pose the query cloud
+was expressed at (the current estimate for RS; the candidate pose for SC,
+mO.cpp:926-929) and dT the ICP correction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import PipelineConfig
+from .mapping import KeyframeStore
+from .ops import icp, voxel
+from .utils import se3
+
+_BIG = jnp.float32(1e18)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def detect_radius(config: PipelineConfig, kf: KeyframeStore,
+                  cur_idx: jnp.ndarray):
+    """Oldest keyframe within rs_search_radius and >= rs_time_gap older.
+    Returns index or -1."""
+    lcfg = config.loop
+    cur_pos = kf.poses6[cur_idx, 3:6]
+    cur_time = kf.times[cur_idx]
+    K = kf.poses6.shape[0]
+    ids = jnp.arange(K)
+    d = jnp.linalg.norm(kf.poses6[:, 3:6] - cur_pos, axis=-1)
+    ok = (ids < kf.count) & (d < lcfg.rs_search_radius) & \
+         (cur_time - kf.times >= lcfg.rs_time_gap)
+    cand = jnp.where(ok, ids, K + 1)
+    best = jnp.min(cand)
+    return jnp.where(best <= K, best, -1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def history_submap(config: PipelineConfig, kf: KeyframeStore,
+                   center: jnp.ndarray):
+    """World-frame submap of +-history_num keyframes around ``center``,
+    voxel-downsampled (mO.cpp:896-903, leaf history_leaf).
+    Returns (pts (history_pad,3), mask)."""
+    cap, lcfg = config.cap, config.loop
+    n = 2 * lcfg.history_num + 1
+    idx = center + jnp.arange(-lcfg.history_num, lcfg.history_num + 1)
+    ok = (idx >= 0) & (idx < kf.count)
+    idx = jnp.clip(idx, 0, cap.max_keyframes - 1)
+    poses = se3.pose6_to_mat(kf.poses6[idx])
+
+    def world(pts, mask):
+        out = (poses[:, None, :3, :3] @ pts[..., None])[..., 0] \
+            + poses[:, None, :3, 3]
+        return out.reshape(-1, 3), (mask & ok[:, None]).reshape(-1)
+
+    c, cm = world(kf.corner[idx], kf.corner_mask[idx])
+    s, sm = world(kf.surf[idx], kf.surf_mask[idx])
+    o, om = world(kf.outlier[idx], kf.outlier_mask[idx])
+    pts = jnp.concatenate([c, s, o])
+    mask = jnp.concatenate([cm, sm, om])
+    out, omask, _ = voxel.voxel_downsample(pts, mask, lcfg.history_leaf,
+                                           cap.history_pad)
+    return out, omask
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def keyframe_cloud(config: PipelineConfig, kf: KeyframeStore,
+                   idx: jnp.ndarray, place_pose: jnp.ndarray):
+    """Corner+surf cloud of keyframe ``idx`` expressed at ``place_pose``
+    (mO.cpp:880-894/926-929). Returns (pts (icp_query_pad,3), mask)."""
+    cap = config.cap
+    c = kf.corner[idx]
+    s = kf.surf[idx]
+    pts = jnp.concatenate([c, s])[:cap.icp_query_pad]
+    mask = jnp.concatenate([kf.corner_mask[idx],
+                            kf.surf_mask[idx]])[:cap.icp_query_pad]
+    out = se3.transform_points(place_pose, pts[None])[0]
+    return jnp.where(mask[:, None], out, 0.0), mask
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def verify(config: PipelineConfig, kf: KeyframeStore,
+           cur_idx: jnp.ndarray, cand_idx: jnp.ndarray,
+           place_pose: jnp.ndarray):
+    """ICP-verify a loop hypothesis. Returns (Z (4,4), fitness, accept)."""
+    src, src_mask = keyframe_cloud(config, kf, cur_idx, place_pose)
+    dst, dst_mask = history_submap(config, kf, cand_idx)
+    dT, fitness = icp.align(config, src, src_mask, dst, dst_mask)
+    x_cand = se3.pose6_to_mat(kf.poses6[cand_idx])
+    x_true = dT @ place_pose
+    Z = se3.mat_inv(x_true) @ x_cand
+    accept = fitness < config.loop.fitness_threshold
+    return Z, fitness, accept

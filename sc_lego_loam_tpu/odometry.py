@@ -1,0 +1,269 @@
+"""Scan-to-scan odometry (reference L4 node, featureAssociation.cpp).
+
+Replaces the two-stage 3-DOF Levenberg-Marquardt of the reference
+(C9: fA.cpp:860-1705) with the same structure expressed TPU-natively:
+
+- correspondences by batched brute-force nearest neighbor over padded
+  feature banks (distance matrices on the MXU) instead of kd-trees,
+  re-searched every ``research_every`` iterations (fA.cpp:1052,1163);
+- motion parametrized as a single se(3) twist xi with T_rel = exp(xi);
+  stage 1 solves [roll, pitch, tz] on planar (ground) features
+  (fA.cpp:1270-1377 calculateTransformationSurf), stage 2 [yaw, tx, ty]
+  on edge features (fA.cpp:1379-1478 calculateTransformationCorner) —
+  the lidar-frame equivalent of the reference's camera-frame split;
+- intra-scan motion interpolation p_start = exp(s * xi) p with
+  s = rel_time (fA.cpp:860-883 TransformToStart);
+- Jacobians via jax.grad of the residual instead of hand-expanded Euler
+  trig; degeneracy guard and robust reweighting as in the reference;
+- the whole LM loop lives in lax.while_loop with early convergence exit.
+
+Pose accumulation (C10, fA.cpp:1697-1725) is plain SE(3) composition; the
+Euler "AccumulateRotation/PluginIMURotation" trig is gone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import PipelineConfig
+from .ops.features import FeatureCloud, FeatureSet
+from .ops import residuals, solver
+from .utils import se3
+
+_BIG = jnp.float32(1e18)
+
+
+class OdometryState(NamedTuple):
+    corner_last: FeatureCloud   # prev less-sharp, in prev scan-end frame
+    surf_last: FeatureCloud     # prev less-flat, in prev scan-end frame
+    pose: jnp.ndarray           # (4,4) world_from_scan_end
+    motion: jnp.ndarray         # (6,) last relative twist (const-vel prior)
+    initialized: jnp.ndarray    # () bool
+
+
+def init_state(config: PipelineConfig) -> OdometryState:
+    cap = config.cap
+
+    def empty(pad):
+        return FeatureCloud(
+            xyz=jnp.zeros((pad, 3), jnp.float32),
+            mask=jnp.zeros((pad,), bool),
+            ring=jnp.zeros((pad,), jnp.int32),
+            rel_time=jnp.zeros((pad,), jnp.float32))
+
+    return OdometryState(
+        corner_last=empty(cap.less_sharp_pad),
+        surf_last=empty(cap.less_flat_pad),
+        pose=jnp.eye(4, dtype=jnp.float32),
+        motion=jnp.zeros((6,), jnp.float32),
+        initialized=jnp.bool_(False),
+    )
+
+
+def _sqdist(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(Q,3),(T,3) -> (Q,T) squared distances via the MXU."""
+    qq = (q * q).sum(-1)[:, None]
+    tt = (t * t).sum(-1)[None, :]
+    return jnp.maximum(qq + tt - 2.0 * (q @ t.T), 0.0)
+
+
+def _find_corner(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
+    """Edge correspondences (fA.cpp:1044-1153): nearest neighbor j plus the
+    nearest point l2 in a *different* ring within +-near_ring_span."""
+    d = _sqdist(q_xyz, tgt.xyz)
+    d = jnp.where(tgt.mask[None, :], d, _BIG)
+    j = jnp.argmin(d, -1)
+    dj = jnp.take_along_axis(d, j[:, None], -1)[:, 0]
+    ring_j = tgt.ring[j]
+    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None]).astype(jnp.float32)
+    m2 = (dr > 0) & (dr <= ocfg.near_ring_span)
+    d2 = jnp.where(m2, d, _BIG)
+    l2 = jnp.argmin(d2, -1)
+    dl2 = jnp.take_along_axis(d2, l2[:, None], -1)[:, 0]
+    valid = q_mask & (dj < ocfg.nearest_sq_dist) & (dl2 < ocfg.nearest_sq_dist)
+    return j, l2, valid
+
+
+def _find_surf(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
+    """Planar correspondences (fA.cpp:1155-1268): nearest j, nearest l2 in
+    the SAME ring (excluding j), nearest l3 in a different ring within
+    +-near_ring_span."""
+    d = _sqdist(q_xyz, tgt.xyz)
+    d = jnp.where(tgt.mask[None, :], d, _BIG)
+    j = jnp.argmin(d, -1)
+    dj = jnp.take_along_axis(d, j[:, None], -1)[:, 0]
+    ring_j = tgt.ring[j]
+    same = tgt.ring[None, :] == ring_j[:, None]
+    not_j = jnp.arange(d.shape[1])[None, :] != j[:, None]
+    d2 = jnp.where(same & not_j, d, _BIG)
+    l2 = jnp.argmin(d2, -1)
+    dl2 = jnp.take_along_axis(d2, l2[:, None], -1)[:, 0]
+    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None]).astype(jnp.float32)
+    m3 = (dr > 0) & (dr <= ocfg.near_ring_span)
+    d3 = jnp.where(m3, d, _BIG)
+    l3 = jnp.argmin(d3, -1)
+    dl3 = jnp.take_along_axis(d3, l3[:, None], -1)[:, 0]
+    thr = ocfg.nearest_sq_dist
+    valid = q_mask & (dj < thr) & (dl2 < thr) & (dl3 < thr)
+    return j, l2, l3, valid
+
+
+def _deskew(xi, pts, s):
+    """p_start = exp(s * xi) p — motion-interpolated de-skew
+    (fA.cpp:860-883)."""
+    T = se3.se3_exp(s[:, None] * xi[None, :])      # (N,4,4)
+    return (T[:, :3, :3] @ pts[..., None])[..., 0] + T[:, :3, 3]
+
+
+def _corner_residual(xi, q, s, a, b):
+    p = _deskew(xi, q, s)
+    return residuals.point_to_line(p, a, b)
+
+
+def _surf_residual(xi, q, s, a, b, c):
+    p = _deskew(xi, q, s)
+    return residuals.point_to_plane(p, a, b, c)
+
+
+def _stage_loop(xi0, param_idx, research_fn, resid_fn, corres0, ocfg):
+    """Generic 3-DOF LM stage. ``research_fn(xi) -> corres`` (pytree of
+    arrays incl. 'valid'); ``resid_fn(xi, corres) -> (r, valid)``.
+
+    The reference stabilizes its Gauss-Newton with a fixed 5% step
+    (matB = -0.05*d, fA.cpp:1321); here we use proper adaptive
+    Levenberg-Marquardt (accept/reject with lambda adaptation), which is
+    equally jit-friendly, robust on weak geometry, and converges in far
+    fewer iterations."""
+    idx = jnp.asarray(param_idx)
+
+    def body(state):
+        xi, corres, it, _, Pm, degen, lam = state
+        corres = jax.lax.cond(
+            it % ocfg.research_every == 0,
+            lambda: research_fn(xi), lambda: corres)
+
+        def r_of(x):
+            return resid_fn(x, corres)[0]
+
+        r = r_of(xi)
+        J = jax.jacfwd(r_of)(xi)                   # (N,6)
+        _, valid = resid_fn(xi, corres)
+        w = solver.robust_weight(jnp.abs(r), ocfg.robust_slope,
+                                 ocfg.robust_min_weight,
+                                 it >= ocfg.robust_after_iter)
+        w = w * valid.astype(r.dtype)
+        J3 = J[:, idx]
+        Jw = J3 * w[:, None]
+        H = Jw.T @ J3
+        g = Jw.T @ r
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(
+            len(param_idx), dtype=xi.dtype)
+        delta3 = -jnp.linalg.solve(Hd, g)
+        Pm_new, degen_new = solver.degeneracy_projector(H, ocfg.eig_threshold)
+        Pm = jnp.where(it == 0, Pm_new, Pm)
+        degen = jnp.where(it == 0, degen_new, degen)
+        delta3 = jnp.where(degen, Pm @ delta3, delta3)
+        delta3 = jnp.where(jnp.isfinite(delta3), delta3, 0.0)
+        delta6 = jnp.zeros((6,), xi.dtype).at[idx].set(delta3)
+        xi_new = xi + delta6
+
+        cost_old = (w * r * r).sum()
+        r_new = r_of(xi_new)
+        cost_new = (w * r_new * r_new).sum()
+        accept = (cost_new < cost_old) & jnp.isfinite(cost_new)
+        xi = jnp.where(accept, xi_new, xi)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-5, 1e4)
+        done = accept & solver.converged(delta6[:3], delta6[3:],
+                                         ocfg.delta_rot_deg,
+                                         ocfg.delta_trans_cm)
+        return xi, corres, it + 1, done, Pm, degen, lam
+
+    def cond(state):
+        return (~state[3]) & (state[2] < ocfg.max_iterations)
+
+    state0 = (xi0, corres0, jnp.int32(0), jnp.bool_(False),
+              jnp.eye(len(param_idx), dtype=xi0.dtype), jnp.bool_(False),
+              jnp.float32(1e-3))
+    xi, *_ = jax.lax.while_loop(cond, body, state0)
+    return xi
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
+    """One odometry tick. Returns (new_state, world_pose (4,4), rel twist)."""
+    ocfg = config.odom
+
+    def do_init():
+        new = OdometryState(
+            corner_last=feats.less_sharp, surf_last=feats.less_flat,
+            pose=state.pose, motion=jnp.zeros((6,), jnp.float32),
+            initialized=jnp.bool_(True))
+        return new, state.pose, jnp.zeros((6,), jnp.float32)
+
+    def do_track():
+        xi0 = state.motion                       # constant-velocity prior
+        sharp, flat = feats.sharp, feats.flat
+        if not ocfg.deskew:
+            # Instantaneous clouds: every point is at scan end (s = 1), so
+            # exp(s*xi) reduces to the full relative transform.
+            sharp = sharp._replace(rel_time=jnp.ones_like(sharp.rel_time))
+            flat = flat._replace(rel_time=jnp.ones_like(flat.rel_time))
+        corner_t, surf_t = state.corner_last, state.surf_last
+
+        enough = (sharp.mask.sum() >= ocfg.min_feature_points) & \
+                 (flat.mask.sum() >= ocfg.min_surf_points)
+
+        # Stage 1: surf features -> [roll, pitch, tz] = twist idx [0,1,5].
+        def surf_research(xi):
+            q = _deskew(xi, flat.xyz, flat.rel_time)
+            return _find_surf(q, flat.mask, surf_t, ocfg)
+
+        def surf_resid(xi, corres):
+            j, l2, l3, valid = corres
+            r = _surf_residual(xi, flat.xyz, flat.rel_time,
+                               surf_t.xyz[j], surf_t.xyz[l2], surf_t.xyz[l3])
+            return r, valid
+
+        xi1 = _stage_loop(xi0, (0, 1, 5), surf_research, surf_resid,
+                          surf_research(xi0), ocfg)
+
+        # Stage 2: corner features -> [yaw, tx, ty] = twist idx [2,3,4].
+        def corner_research(xi):
+            q = _deskew(xi, sharp.xyz, sharp.rel_time)
+            return _find_corner(q, sharp.mask, corner_t, ocfg)
+
+        def corner_resid(xi, corres):
+            j, l2, valid = corres
+            r = _corner_residual(xi, sharp.xyz, sharp.rel_time,
+                                 corner_t.xyz[j], corner_t.xyz[l2])
+            return r, valid
+
+        xi2 = _stage_loop(xi1, (2, 3, 4), corner_research, corner_resid,
+                          corner_research(xi1), ocfg)
+
+        xi = jnp.where(enough, xi2, xi0)
+        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+        T_rel = se3.se3_exp(xi)
+        pose = state.pose @ T_rel
+
+        # Project current features to scan end (fA.cpp:885-953
+        # TransformToEnd) to become the next frame's matching targets.
+        T_inv = se3.mat_inv(T_rel)
+
+        def to_end(fc: FeatureCloud) -> FeatureCloud:
+            s = fc.rel_time if ocfg.deskew else jnp.ones_like(fc.rel_time)
+            p_start = _deskew(xi, fc.xyz, s)
+            p_end = (T_inv[:3, :3] @ p_start[..., None])[..., 0] + T_inv[:3, 3]
+            return fc._replace(xyz=jnp.where(fc.mask[:, None], p_end, 0.0))
+
+        new = OdometryState(
+            corner_last=to_end(feats.less_sharp),
+            surf_last=to_end(feats.less_flat),
+            pose=pose, motion=xi, initialized=jnp.bool_(True))
+        return new, pose, xi
+
+    return jax.lax.cond(state.initialized, do_track, do_init)

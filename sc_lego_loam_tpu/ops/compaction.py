@@ -1,0 +1,89 @@
+"""Segmented-cloud assembly (reference C6: imageProjection.cpp:312-368).
+
+The reference packs surviving pixels into a per-ring contiguous point list
+(the ``segmentedCloud`` + ``cloud_info`` side channel).  The TPU-native
+equivalent keeps the (H, W) grid shape and *compacts each row in place*:
+pixels to keep are sorted to the front of their row in column order via one
+argsort per row (key = col for kept pixels, +inf otherwise).  Downstream
+stages (curvature, sectioning, picking) then operate on fixed-shape (H, W)
+arrays with a per-row count — no dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LidarConfig, SegmentationConfig
+from .projection import RangeImage
+from .segmentation import Segmentation
+
+
+class SegmentedCloud(NamedTuple):
+    """Per-ring compacted segmented cloud. All (H, W) unless noted.
+
+    Mirrors the ``cloud_info`` contract (cloud_msgs/msg/cloud_info.msg:1-12):
+    per-point ground flag, column index and range, plus per-ring counts in
+    place of start/end indices.
+    """
+
+    xyz: jnp.ndarray        # (H, W, 3)
+    rng: jnp.ndarray        # (H, W) range
+    col: jnp.ndarray        # (H, W) original column index
+    ground: jnp.ndarray     # (H, W) bool
+    valid: jnp.ndarray      # (H, W) bool — position < per-ring count
+    count: jnp.ndarray      # (H,) int32 kept points per ring
+    rel_time: jnp.ndarray   # (H, W) intra-scan relative time
+
+
+class OutlierCloud(NamedTuple):
+    xyz: jnp.ndarray        # (H, W, 3) row-compacted
+    valid: jnp.ndarray      # (H, W)
+    count: jnp.ndarray      # (H,)
+
+
+def compact(img: RangeImage, seg_res: Segmentation, ground: jnp.ndarray,
+            lidar: LidarConfig, seg: SegmentationConfig
+            ) -> tuple[SegmentedCloud, OutlierCloud]:
+    H, W = img.rng.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+
+    # Keep rule (imageProjection.cpp:326-351): cluster points always; ground
+    # points only every 5th column (plus the ring edges).
+    ground_keep = ground & (
+        (cols % seg.ground_keep_stride == 0) | (cols <= 5) | (cols >= W - 5))
+    keep = seg_res.is_cluster | ground_keep
+
+    # Outliers (imageProjection.cpp:328-335): failed-segment pixels above the
+    # ground rows, every 5th column.
+    out_keep = seg_res.is_outlier & (rows > lidar.ground_scan_ind) & (
+        cols % seg.outlier_keep_stride == 0)
+
+    segmented = _row_compact(img, keep, ground, cols)
+    outlier = _row_compact(img, out_keep, ground, cols)
+    out = OutlierCloud(xyz=outlier.xyz, valid=outlier.valid,
+                       count=outlier.count)
+    return segmented, out
+
+
+def _row_compact(img: RangeImage, keep: jnp.ndarray, ground: jnp.ndarray,
+                 cols: jnp.ndarray) -> SegmentedCloud:
+    H, W = keep.shape
+    key = jnp.where(keep, cols, W + 1)
+    order = jnp.argsort(key, axis=1)              # kept pixels first, by col
+    gather = jax.vmap(lambda a, o: a[o])
+    count = keep.sum(-1).astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = pos < count[:, None]
+    return SegmentedCloud(
+        xyz=gather(img.xyz, order),
+        rng=gather(img.rng, order),
+        col=gather(cols, order),
+        ground=gather(ground, order),
+        valid=valid,
+        count=count,
+        rel_time=gather(img.rel_time, order),
+    )

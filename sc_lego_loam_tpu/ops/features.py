@@ -1,0 +1,222 @@
+"""Edge/planar feature extraction (reference C8: featureAssociation.cpp:621-784).
+
+The reference sorts each ring section by curvature and walks it sequentially,
+suppressing +-5 neighbors after each pick.  The TPU-native reformulation is
+*vectorized sequential argmax*: all (ring x section) slots pick their next
+best candidate simultaneously (k small, bounded iterations), applying the
+same +-5 neighbor suppression with the column-gap guard via gathers/scatters.
+Cross-section suppression bleed (a pick near a section boundary suppressing
+candidates in the *next* section processed later) is the only tie-breaking
+difference vs the reference — allowed per SURVEY.md par.7 "exact-enough
+semantics".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CapacityConfig, FeatureConfig
+from .compaction import SegmentedCloud
+from .voxel import voxel_downsample
+
+
+class FeatureCloud(NamedTuple):
+    """Padded feature list."""
+
+    xyz: jnp.ndarray       # (P,3)
+    mask: jnp.ndarray      # (P,) bool
+    ring: jnp.ndarray      # (P,) int32 — scan ring (for ring-window matching)
+    rel_time: jnp.ndarray  # (P,) intra-scan relative time in [0,1)
+
+
+class FeatureSet(NamedTuple):
+    sharp: FeatureCloud        # <=2/section edges         (label 2)
+    less_sharp: FeatureCloud   # <=20/section edges        (label >=1)
+    flat: FeatureCloud         # <=4/section ground planes (label -1)
+    less_flat: FeatureCloud    # everything label<=0, voxel-DS 0.2
+
+
+def curvature(cloud: SegmentedCloud, feat: FeatureConfig):
+    """c[i] = (sum_{1<=|l|<=5} r[i+l] - 10 r[i])^2 over compacted ring order
+    (featureAssociation.cpp:621-641). Returns (curv, curv_valid)."""
+    r = cloud.rng
+    H, W = r.shape
+    k = feat.curvature_halfwidth
+    acc = -2.0 * k * r
+    for l in range(1, k + 1):
+        acc = acc + jnp.roll(r, l, 1) + jnp.roll(r, -l, 1)
+    curv = acc * acc
+    pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ok = (pos >= k) & (pos <= cloud.count[:, None] - 1 - k) & cloud.valid
+    return curv, ok
+
+
+def occlusion_mask(cloud: SegmentedCloud, feat: FeatureConfig) -> jnp.ndarray:
+    """Occluded / parallel-beam pixels to exclude from picking
+    (featureAssociation.cpp:643-678). Returns (H,W) bool 'pre-picked'."""
+    r = cloud.rng
+    H, W = r.shape
+    col = cloud.col
+    nxt_r = jnp.roll(r, -1, 1)
+    nxt_c = jnp.roll(col, -1, 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    pair_ok = (pos + 1 < cloud.count[:, None])
+    close_cols = (jnp.abs(nxt_c - col) < feat.occlusion_col_gap) & pair_ok
+    # i occludes: depth1 - depth2 > 0.3 -> mark [i-5, i]
+    a = close_cols & (r - nxt_r > feat.occlusion_range_gap)
+    # next occludes: depth2 - depth1 > 0.3 -> mark [i+1, i+6]
+    b = close_cols & (nxt_r - r > feat.occlusion_range_gap)
+    marked = jnp.zeros((H, W), bool)
+    for l in range(0, 6):
+        marked |= jnp.roll(a, -l, 1)          # j marked if a[j+l], l in 0..5
+    for l in range(1, 7):
+        marked |= jnp.roll(b, l, 1)           # j marked if b[j-l], l in 1..6
+    # Parallel beams (fA.cpp:668-676).
+    prv_r = jnp.roll(r, 1, 1)
+    diff1 = jnp.abs(prv_r - r)
+    diff2 = jnp.abs(nxt_r - r)
+    par = (diff1 > feat.parallel_beam_ratio * r) & \
+          (diff2 > feat.parallel_beam_ratio * r)
+    marked |= par
+    return marked & cloud.valid
+
+
+def _suppress_positions(col, idx, count, feat: FeatureConfig):
+    """Positions to mark picked around a pick at ``idx`` (per ring), honoring
+    the column-gap early stop (fA.cpp:720-732).
+
+    col: (H,W); idx: (H,S) pick position per section; returns
+    (positions (H,S,11) int32, mask (H,S,11) bool)."""
+    H, W = col.shape
+    S = idx.shape[1]
+    offs = jnp.arange(-feat.suppress_halfwidth, feat.suppress_halfwidth + 1)
+    pos = idx[..., None] + offs                           # (H,S,11)
+    pos_c = jnp.clip(pos, 0, W - 1)
+    colg = jax.vmap(lambda c, p: c[p])(col, pos_c.reshape(H, -1)).reshape(
+        H, S, -1)
+    # Gap between consecutive offsets moving away from the center.
+    gaps = jnp.abs(jnp.diff(colg, axis=-1))               # (H,S,10)
+    kh = feat.suppress_halfwidth
+    ok = jnp.ones(pos.shape, bool)
+    # Right side: offset l (1..5) allowed iff all gaps center..l <= 10.
+    right_ok = jnp.cumprod(
+        (gaps[..., kh:] <= feat.suppress_col_gap).astype(jnp.int32),
+        axis=-1).astype(bool)                             # (H,S,5)
+    # Left side: offset -l allowed iff gaps center..-l <= 10.
+    left_gaps = gaps[..., :kh][..., ::-1]
+    left_ok = jnp.cumprod(
+        (left_gaps <= feat.suppress_col_gap).astype(jnp.int32),
+        axis=-1).astype(bool)[..., ::-1]                  # (H,S,5)
+    ok = ok.at[..., kh + 1:].set(right_ok)
+    ok = ok.at[..., :kh].set(left_ok)
+    in_row = (pos >= 0) & (pos < count[:, None, None])
+    return pos_c, ok & in_row
+
+
+def _scatter_mark(arr, rowids, pos, mask, value=True):
+    """arr (H,W) bool; mark arr[rowids, pos] |= mask."""
+    H, W = arr.shape
+    flat = rowids * W + pos
+    upd = jnp.zeros((H * W,), bool).at[
+        jnp.where(mask, flat, 0).reshape(-1)].max(mask.reshape(-1),
+                                                  mode="drop")
+    return arr | upd.reshape(H, W)
+
+
+def extract(cloud: SegmentedCloud, feat: FeatureConfig,
+            cap: CapacityConfig) -> FeatureSet:
+    H, W = cloud.rng.shape
+    S = feat.sections
+    curv, curv_ok = curvature(cloud, feat)
+    picked = occlusion_mask(cloud, feat)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    n = jnp.maximum(cloud.count, 1)[:, None]
+    sec_id = jnp.minimum((pos * S) // n, S - 1)           # (H,W)
+    sec_onehot = sec_id[:, None, :] == jnp.arange(S)[None, :, None]  # (H,S,W)
+    rowids = jax.lax.broadcasted_iota(jnp.int32, (H, S), 0)
+
+    label = jnp.zeros((H, W), jnp.int8)
+    NEG = jnp.float32(-1.0)
+    BIG = jnp.float32(1e18)
+
+    def edge_iter(k, state):
+        label, picked = state
+        cand = curv_ok & ~picked & (curv > feat.edge_threshold) & ~cloud.ground
+        score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], NEG)
+        idx = jnp.argmax(score, -1).astype(jnp.int32)      # (H,S)
+        val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
+        has = val > 0.0
+        lab_val = jnp.where(k < feat.edge_per_section, jnp.int8(2), jnp.int8(1))
+        lab_upd = jnp.zeros((H * W,), jnp.int8).at[
+            jnp.where(has, rowids * W + idx, 0).reshape(-1)].max(
+            jnp.where(has, lab_val, jnp.int8(0)).reshape(-1), mode="drop")
+        label = jnp.maximum(label, lab_upd.reshape(H, W))
+        spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
+        smask &= has[..., None]
+        picked = _scatter_mark(picked, rowids[..., None] * jnp.ones_like(spos),
+                               spos, smask)
+        return label, picked
+
+    label, picked = jax.lax.fori_loop(
+        0, feat.edge_less_per_section, edge_iter, (label, picked))
+
+    def surf_iter(k, state):
+        label, picked = state
+        cand = curv_ok & ~picked & (curv < feat.surf_threshold) & cloud.ground
+        score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], BIG)
+        idx = jnp.argmin(score, -1).astype(jnp.int32)
+        val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
+        has = val < BIG * 0.5
+        lab_upd = jnp.zeros((H * W,), jnp.int8).at[
+            jnp.where(has, rowids * W + idx, 0).reshape(-1)].max(
+            jnp.where(has, jnp.int8(1), jnp.int8(0)).reshape(-1), mode="drop")
+        # flat label is -1; track separately via a bool plane.
+        flat_new = (lab_upd.reshape(H, W) > 0)
+        label = jnp.where(flat_new, jnp.int8(-1), label)
+        spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
+        smask &= has[..., None]
+        picked = _scatter_mark(picked, rowids[..., None] * jnp.ones_like(spos),
+                               spos, smask)
+        return label, picked
+
+    label, picked = jax.lax.fori_loop(
+        0, feat.surf_per_section, surf_iter, (label, picked))
+
+    rings = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+
+    def gather_class(mask, pad):
+        m = mask.reshape(-1)
+        idx = jnp.nonzero(m, size=pad, fill_value=0)[0]
+        cnt = m.sum()
+        ok = jnp.arange(pad) < cnt
+        return FeatureCloud(
+            xyz=jnp.where(ok[:, None], cloud.xyz.reshape(-1, 3)[idx], 0.0),
+            mask=ok,
+            ring=jnp.where(ok, rings.reshape(-1)[idx], 0),
+            rel_time=jnp.where(ok, cloud.rel_time.reshape(-1)[idx], 0.0),
+        )
+
+    sharp = gather_class(label == 2, cap.sharp_pad)
+    less_sharp = gather_class(label >= 1, cap.less_sharp_pad)
+    flat = gather_class(label == -1, cap.flat_pad)
+
+    # Less-flat: every in-range point not picked as an edge
+    # (fA.cpp:771-782 cloudLabel <= 0), voxel-downsampled at 0.2 m.
+    lf_mask = curv_ok & (label <= 0)
+    pts = cloud.xyz.reshape(-1, 3)
+    extras = jnp.stack([rings.reshape(-1).astype(jnp.float32),
+                        cloud.rel_time.reshape(-1)], -1)
+    ds_pts, ds_mask, ds_ex = voxel_downsample(
+        pts, lf_mask.reshape(-1), feat.less_flat_leaf, cap.less_flat_pad,
+        extras=extras)
+    less_flat = FeatureCloud(
+        xyz=ds_pts, mask=ds_mask,
+        ring=jnp.round(ds_ex[:, 0]).astype(jnp.int32),
+        rel_time=ds_ex[:, 1],
+    )
+    return FeatureSet(sharp=sharp, less_sharp=less_sharp, flat=flat,
+                      less_flat=less_flat)

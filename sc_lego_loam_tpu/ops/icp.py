@@ -1,0 +1,55 @@
+"""Point-to-point ICP for loop-closure verification (replaces
+pcl::IterativeClosestPoint used at mapOptmization.cpp:1006-1011,1054-1059).
+
+Jitted fixed-shape loop: 1-NN correspondences by brute-force MXU tiles,
+closed-form SVD rigid fit per iteration (the same estimator PCL uses
+internally), convergence on the increment twist norm.  Fitness matches
+pcl::Registration::getFitnessScore — the mean squared nearest-neighbor
+distance of the aligned source (mO.cpp:1020,1071 gate it at < 1.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from .knn import nn1
+from ..utils import se3
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
+          dst: jnp.ndarray, dst_mask: jnp.ndarray,
+          T0: jnp.ndarray | None = None):
+    """Align src onto dst. Returns (T (4,4), fitness ()) with
+    dst ~ T @ src for matched points."""
+    lcfg = config.loop
+    if T0 is None:
+        T0 = jnp.eye(4, dtype=jnp.float32)
+
+    def body(state):
+        T, it, done = state
+        p = se3.transform_points(T, src[None])[0]
+        idx, sqd = nn1(p, dst, dst_mask)
+        w = src_mask.astype(jnp.float32)
+        dT = se3.best_fit_transform(p, dst[idx], w)
+        T_new = dT @ T
+        inc = se3.se3_log(dT)
+        done = jnp.linalg.norm(inc) < lcfg.icp_eps
+        return T_new, it + 1, done
+
+    def cond(state):
+        _, it, done = state
+        return (~done) & (it < lcfg.icp_max_iterations)
+
+    T, _, _ = jax.lax.while_loop(
+        cond, body, (T0, jnp.int32(0), jnp.bool_(False)))
+
+    p = se3.transform_points(T, src[None])[0]
+    _, sqd = nn1(p, dst, dst_mask)
+    w = src_mask.astype(jnp.float32)
+    fitness = (sqd * w).sum() / jnp.maximum(w.sum(), 1.0)
+    return T, fitness

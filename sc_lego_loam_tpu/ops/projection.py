@@ -1,0 +1,87 @@
+"""Range-image projection (reference C3: imageProjection.cpp:199-257).
+
+The reference walks points one-by-one writing into a 64x1024 cv::Mat.  Here
+the whole cloud is projected with one vectorized row/col computation and a
+scatter-min into the grid (ties on the same pixel resolve to the nearest
+return, where the reference keeps the last-written point; both are valid
+samplings of the same surface).
+
+Everything is fixed-shape: input is a padded (N,3) cloud + validity mask,
+output is the (H,W) range image plus per-pixel point attributes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import LidarConfig
+
+INVALID_RANGE = jnp.float32(0.0)   # rangeMat init is FLT_MAX in the reference;
+                                   # we use 0 + a validity mask instead.
+
+
+class RangeImage(NamedTuple):
+    """Pixelized scan. All arrays are (H, W) or (H, W, 3)."""
+
+    xyz: jnp.ndarray        # point coords in sensor frame
+    rng: jnp.ndarray        # range (m); 0 where no return
+    valid: jnp.ndarray      # bool: pixel has a return
+    rel_time: jnp.ndarray   # azimuth-interpolated intra-scan time in [0,1)
+                            # (reference packs this into intensity,
+                            #  featureAssociation.cpp:504-523)
+
+
+def project(points: jnp.ndarray, mask: jnp.ndarray,
+            lidar: LidarConfig) -> RangeImage:
+    """Project a padded unordered cloud into an (n_scan, horizon) range image.
+
+    points: (N,3) float32 sensor-frame, mask: (N,) bool.
+    Row from vertical angle (imageProjection.cpp:225-231; ring channel not
+    needed since rows are recomputed exactly), col from horizontal angle
+    (imageProjection.cpp:235-242), min-range cull (imageProjection.cpp:244).
+    """
+    H, W = lidar.n_scan, lidar.horizon_scan
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    ok = mask & (r > lidar.min_range) & (r < lidar.max_range)
+
+    vert_deg = jnp.degrees(jnp.arctan2(z, jnp.sqrt(x * x + y * y)))
+    row = jnp.round((vert_deg + lidar.ang_bottom) / lidar.ang_res_y).astype(jnp.int32)
+    ok &= (row >= 0) & (row < H)
+
+    azim = jnp.arctan2(y, x)                      # (-pi, pi]
+    colf = azim / jnp.float32(lidar.ang_res_x_rad)
+    col = jnp.mod(jnp.round(colf).astype(jnp.int32), W)
+
+    # Scatter-min on range to pick the closest return per pixel; carry the
+    # point index of the winner to gather coordinates.
+    flat = row * W + col
+    flat = jnp.where(ok, flat, 0)
+    big = jnp.float32(1e9)
+    r_key = jnp.where(ok, r, big)
+    grid_r = jnp.full((H * W,), big, jnp.float32).at[flat].min(
+        r_key, mode="drop")
+    # winner index: scatter-min over (range-encoded) keys with index payload.
+    # Encode (range, idx) into a single sortable float? Safer: scatter-min of
+    # idx among points that achieved the per-pixel min range.
+    n = points.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_winner = ok & (r_key <= grid_r[flat] + 1e-6)
+    win_idx = jnp.full((H * W,), n, jnp.int32).at[
+        jnp.where(is_winner, flat, 0)].min(
+        jnp.where(is_winner, idx, n), mode="drop")
+
+    valid = (grid_r < big) & (win_idx < n)
+    win = jnp.clip(win_idx, 0, n - 1)
+    xyz = jnp.where(valid[:, None], points[win], 0.0).reshape(H, W, 3)
+    rngm = jnp.where(valid, grid_r, 0.0).reshape(H, W)
+    validm = valid.reshape(H, W)
+
+    # Intra-scan relative time from the column (the reference derives it from
+    # the azimuth span of the scan, featureAssociation.cpp:504-523; with a
+    # full 360 deg scan that reduces to col/W).
+    rel = (jnp.arange(W, dtype=jnp.float32) / W)[None, :].repeat(H, 0)
+    rel = jnp.where(validm, rel, 0.0)
+    return RangeImage(xyz=xyz, rng=rngm, valid=validm, rel_time=rel)

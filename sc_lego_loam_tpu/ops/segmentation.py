@@ -1,0 +1,134 @@
+"""Cluster segmentation (reference C5: imageProjection.cpp:312-460).
+
+The reference runs a sequential BFS flood fill per seed pixel with an
+angle-based connectivity test.  That is inherently serial; the TPU-native
+reformulation is *iterative min-label propagation with pointer jumping*
+over the whole grid at once:
+
+  1. Build the 4-neighbor connectivity once (the angle criterion
+     ``atan2(d2 sin a, d1 - d2 cos a) > segmentTheta`` is symmetric in the
+     pair, so connected components are well defined).
+  2. Initialize every valid non-ground pixel's label to its own flat index.
+  3. Repeat: label <- min(label, labels of connected neighbors), then a few
+     rounds of pointer jumping label <- label[label], which contracts long
+     chains exponentially (O(log diameter) rounds for grid components).
+  4. Per-component stats (pixel count, distinct-row count) via scatter-adds;
+     apply the reference's validity rule (>=30 px, or >=5 px spanning >=3
+     rows, utility.h:118-119 + imageProjection.cpp:440-451); survivors keep
+     their component id, failures become outliers.
+
+Connectivity wraps horizontally (imageProjection.cpp:403-406).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LidarConfig, SegmentationConfig
+from .projection import RangeImage
+
+
+class Segmentation(NamedTuple):
+    label: jnp.ndarray      # (H,W) int32 component root index; -1 = no component
+    is_cluster: jnp.ndarray  # (H,W) bool: valid segment member
+    is_outlier: jnp.ndarray  # (H,W) bool: failed-segment pixel (label 999999)
+
+
+def _pair_connected(d_a, d_b, valid_a, valid_b, alpha, theta_rad):
+    """Angle criterion for one neighbor direction (imageProjection.cpp:411-423)."""
+    d1 = jnp.maximum(d_a, d_b)
+    d2 = jnp.minimum(d_a, d_b)
+    ang = jnp.arctan2(d2 * math.sin(alpha), d1 - d2 * math.cos(alpha))
+    return valid_a & valid_b & (ang > theta_rad)
+
+
+def segment(img: RangeImage, ground: jnp.ndarray, lidar: LidarConfig,
+            seg: SegmentationConfig) -> Segmentation:
+    H, W = img.rng.shape
+    theta = math.radians(seg.segment_theta_deg)
+    ax = lidar.ang_res_x_rad
+    ay = lidar.ang_res_y_rad
+
+    active = img.valid & ~ground      # ground/invalid get label -1 and are
+                                      # skipped (imageProjection.cpp:295-301)
+    r = img.rng
+
+    # Neighbor connectivity (H,W) per direction; horizontal wraps.
+    right = jnp.roll(r, -1, 1)
+    right_ok = jnp.roll(active, -1, 1)
+    conn_r = _pair_connected(r, right, active, right_ok, ax, theta)
+    conn_l = jnp.roll(conn_r, 1, 1)
+    up = jnp.concatenate([r[1:], jnp.zeros((1, W), r.dtype)], 0)
+    up_ok = jnp.concatenate([active[1:], jnp.zeros((1, W), bool)], 0)
+    conn_u = _pair_connected(r, up, active, up_ok, ay, theta)
+    conn_d = jnp.concatenate([jnp.zeros((1, W), bool), conn_u[:-1]], 0)
+
+    n = H * W
+    init = jnp.where(active.reshape(-1), jnp.arange(n, dtype=jnp.int32), n)
+
+    def gather_neighbor_min(lab):
+        lab2 = lab.reshape(H, W)
+        cand = lab2
+        ln = jnp.roll(lab2, 1, 1)
+        rn = jnp.roll(lab2, -1, 1)
+        un = jnp.concatenate([lab2[1:], jnp.full((1, W), n, jnp.int32)], 0)
+        dn = jnp.concatenate([jnp.full((1, W), n, jnp.int32), lab2[:-1]], 0)
+        cand = jnp.minimum(cand, jnp.where(conn_l, ln, n))
+        cand = jnp.minimum(cand, jnp.where(conn_r, rn, n))
+        cand = jnp.minimum(cand, jnp.where(conn_u, un, n))
+        cand = jnp.minimum(cand, jnp.where(conn_d, dn, n))
+        return cand.reshape(-1)
+
+    sentinel = jnp.array([n], jnp.int32)
+
+    def body(state):
+        lab, _ = state
+        new = gather_neighbor_min(lab)
+        # Pointer jumping: follow the label chain a few hops (labels are flat
+        # indices, so lab[lab] contracts chains exponentially). Index n is the
+        # inactive sentinel; extend the table so it maps to itself.
+        for _ in range(3):
+            ext = jnp.concatenate([new, sentinel])
+            new = ext[new]
+        new = jnp.where(init < n, new, n)
+        changed = jnp.any(new != lab)
+        return new, changed
+
+    label, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (init, jnp.bool_(True)))
+
+    # Component statistics: count and distinct-row count per root label.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)
+    activef = init < n
+    safe_label = jnp.where(activef, label, 0)
+    counts = jnp.zeros((n,), jnp.int32).at[safe_label].add(
+        activef.astype(jnp.int32))
+    lines = _distinct_rows(safe_label, rows, activef, n, H)
+
+    cnt_pix = counts[safe_label]
+    cnt_lines = lines[safe_label]
+    ok = (cnt_pix >= seg.min_cluster_size) | (
+        (cnt_pix >= seg.valid_point_num) & (cnt_lines >= seg.valid_line_num))
+    is_cluster = activef & ok
+    is_outlier = activef & ~ok
+    out_label = jnp.where(is_cluster, label, -1)
+    return Segmentation(label=out_label.reshape(H, W),
+                        is_cluster=is_cluster.reshape(H, W),
+                        is_outlier=is_outlier.reshape(H, W))
+
+
+def _distinct_rows(safe_label, rows, active, n, H):
+    """lines[l] = number of distinct rows among active pixels with label l.
+
+    Exact scatter into an (n*H,) presence table: for 64x1024 grids this is
+    64k*64 = 4.2M int8 — cheap in HBM and touched once per frame.
+    """
+    key = safe_label * H + rows
+    presence = jnp.zeros((n * H,), jnp.int8).at[
+        jnp.where(active, key, 0)].max(
+        jnp.where(active, jnp.int8(1), jnp.int8(0)), mode="drop")
+    return presence.reshape(n, H).astype(jnp.int32).sum(-1)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Drive the full SLAM engine end-to-end on a synthetic sequence.
+
+Usage:
+  python tools/run_synthetic.py [--scans N] [--traj straight|figure8]
+                                [--preset tiny|os1-64] [--platform cpu]
+
+Prints per-scan poses, final ATE vs ground truth, loop-closure count, and
+stage timings. This is the primary "does the product work" driver — it
+exercises frontend -> features -> odometry -> mapping -> scan context ->
+loop closure -> pose graph through the public SlamEngine API.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=30)
+    ap.add_argument("--traj", default="straight",
+                    choices=["straight", "figure8"])
+    ap.add_argument("--preset", default="tiny", choices=["tiny", "os1-64"])
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--step", type=float, default=0.4)
+    ap.add_argument("--export", default=None,
+                    help="optional path prefix for map/trajectory export")
+    args = ap.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from sc_lego_loam_tpu.config import tiny_test_config, synthetic_config
+    from sc_lego_loam_tpu.pipeline import SlamEngine
+    from sc_lego_loam_tpu.utils import synthetic, evaluate
+
+    cfg = tiny_test_config() if args.preset == "tiny" else synthetic_config()
+
+    print(f"generating {args.scans}-scan synthetic sequence "
+          f"({cfg.lidar.name}, {args.traj})...", flush=True)
+    kw = dict(step=args.step) if args.traj == "straight" else dict(
+        radius=30.0, loops=1.05)
+    scans, valids, gt = synthetic.make_sequence(
+        cfg.lidar, args.scans, trajectory=args.traj, noise=0.01, seed=7, **kw)
+
+    engine = SlamEngine(cfg)
+    t0 = time.time()
+    for i in range(args.scans):
+        ts = time.time()
+        pose = engine.process_scan(scans[i], valids[i], t=i * 0.1)
+        import numpy as np
+        p = np.asarray(pose)[:3, 3]
+        print(f"scan {i:3d}: pos=({p[0]:7.2f},{p[1]:7.2f},{p[2]:6.2f})  "
+              f"gt=({gt[i][0,3]:7.2f},{gt[i][1,3]:7.2f},{gt[i][2,3]:6.2f})  "
+              f"kf={int(engine.map.kf.count)} loops={engine.n_loops_closed} "
+              f"[{time.time()-ts:5.2f}s]", flush=True)
+    wall = time.time() - t0
+
+    import numpy as np
+    est = engine.trajectory_array()
+    ate = evaluate.ate_rmse(est, gt[:len(est)])
+    rpe_t, rpe_r = evaluate.rpe(est, gt[:len(est)])
+    print(f"\n=== {args.scans} scans in {wall:.1f}s "
+          f"({args.scans/wall:.2f} scans/s incl. compile) ===")
+    print(f"ATE RMSE: {ate:.3f} m   RPE: {rpe_t:.3f} m / "
+          f"{np.degrees(rpe_r):.3f} deg")
+    print(f"keyframes: {int(engine.map.kf.count)}  "
+          f"loop closures: {engine.n_loops_closed}")
+
+    if args.export:
+        from sc_lego_loam_tpu.utils import export
+        pts = export.global_map_points(engine)
+        export.save_ply(args.export + "_map.ply", pts)
+        export.save_trajectory_tum(
+            args.export + "_traj.txt",
+            np.array([t for t, _ in engine.trajectory]), est)
+        export.save_checkpoint(args.export + "_ckpt.npz", engine)
+        print(f"exported map ({len(pts)} pts) + trajectory + checkpoint "
+              f"to {args.export}_*")
+
+    ok = ate < 1.0
+    print("VERDICT:", "PASS" if ok else "FAIL", f"(ate={ate:.3f})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
