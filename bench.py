@@ -17,7 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_SCANS = int(os.environ.get("BENCH_SCANS", "60"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "12"))
+# Warmup must cover every compile path: mapping ticks, keyframe insertion,
+# and the first loop-closure check (fires at check_every keyframes).
+WARMUP = int(os.environ.get("BENCH_WARMUP", "16"))
 BASELINE_FPS = 10.0   # reference real-time rate (BASELINE.md)
 
 
@@ -27,6 +29,9 @@ def main():
     # defaults to bf16 inputs); the hot large matmuls opt back down to
     # lower precision explicitly where profiled safe.
     jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from sc_lego_loam_tpu.config import synthetic_config
     from sc_lego_loam_tpu.pipeline import SlamEngine
     from sc_lego_loam_tpu.utils import synthetic, evaluate
@@ -37,7 +42,8 @@ def main():
         seed=11)
 
     engine = SlamEngine(cfg)
-    # Warmup: trigger every compile path (incl. mapping + loop machinery).
+    # Warmup: trigger every compile path (incl. mapping + the loop-closure
+    # detector, which first fires once check_every keyframes exist).
     for i in range(WARMUP):
         engine.process_scan(scans[i], valids[i], t=i * 0.1)
 
@@ -46,6 +52,7 @@ def main():
         engine.process_scan(scans[i], valids[i], t=i * 0.1)
     wall = time.time() - t0
     fps = (N_SCANS - WARMUP) / wall
+    print(engine.timer.table(skip_first=2), file=sys.stderr)
 
     est = engine.trajectory_array()
     ate = evaluate.ate_rmse(est, gt[:len(est)])

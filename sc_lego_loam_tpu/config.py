@@ -141,6 +141,11 @@ class MappingConfig:
     """Scan-to-map 6-DOF LM + keyframe logic (mapOptmization.cpp)."""
 
     max_iterations: int = 10             # mO.cpp:1508
+    # The reference re-searches 5-NN every LM iteration (mO.cpp:1505-1516);
+    # with adaptive-damped steps the correspondences barely change between
+    # consecutive accepted iterations, so re-searching every other
+    # iteration halves the dominant cost at matched ATE.
+    research_every: int = 2
     keyframe_dist: float = 0.3           # mO.cpp:1531-1538
     process_interval: float = 0.3        # utility.h:109 mappingProcessInterval
     submap_recent_num: int = 50          # utility.h:134 (loop-closure ON path)
@@ -291,7 +296,7 @@ def tiny_test_config() -> PipelineConfig:
         # scale linearly with correspondence count (~1/30 here).
         odom=OdometryConfig(deskew=False, min_surf_points=8,
                             eig_threshold=0.3),
-        mapping=MappingConfig(eig_threshold=5.0, min_correspondences=30),
+        mapping=MappingConfig(eig_threshold=1.0, min_correspondences=30),
         cap=CapacityConfig(
             max_keyframes=64,
             sharp_pad=256, flat_pad=512, less_sharp_pad=1024,

@@ -69,8 +69,8 @@ def history_submap(config: PipelineConfig, kf: KeyframeStore,
     o, om = world(kf.outlier[idx], kf.outlier_mask[idx])
     pts = jnp.concatenate([c, s, o])
     mask = jnp.concatenate([cm, sm, om])
-    out, omask, _ = voxel.voxel_downsample(pts, mask, lcfg.history_leaf,
-                                           cap.history_pad)
+    out, omask = voxel.voxel_decimate(pts, mask, lcfg.history_leaf,
+                                      cap.history_pad)
     return out, omask
 
 
@@ -92,11 +92,26 @@ def keyframe_cloud(config: PipelineConfig, kf: KeyframeStore,
 @functools.partial(jax.jit, static_argnums=0)
 def verify(config: PipelineConfig, kf: KeyframeStore,
            cur_idx: jnp.ndarray, cand_idx: jnp.ndarray,
-           place_pose: jnp.ndarray):
-    """ICP-verify a loop hypothesis. Returns (Z (4,4), fitness, accept)."""
+           place_pose: jnp.ndarray, yaw_init: jnp.ndarray | None = None):
+    """ICP-verify a loop hypothesis. Returns (Z (4,4), fitness, accept).
+
+    ``yaw_init``: relative yaw from Scan Context retrieval.  The reference
+    leaves its ICP-with-initial-guess path disabled, so its reverse loops
+    go unverified (README.md:39, mO.cpp:1062-1068); seeding the ICP with
+    the SC yaw enables reverse-loop closure (BASELINE.json config 3)."""
     src, src_mask = keyframe_cloud(config, kf, cur_idx, place_pose)
     dst, dst_mask = history_submap(config, kf, cand_idx)
-    dT, fitness = icp.align(config, src, src_mask, dst, dst_mask)
+    if yaw_init is not None:
+        # Scene yawed by +yaw => sensor yawed by -yaw; conjugate into the
+        # world frame around the placement pose.
+        phi = -yaw_init
+        Rz = se3.rt_to_mat(
+            se3.euler_zyx_to_mat(phi, jnp.float32(0), jnp.float32(0)),
+            jnp.zeros(3))
+        T0 = place_pose @ Rz @ se3.mat_inv(place_pose)
+    else:
+        T0 = jnp.eye(4, dtype=jnp.float32)
+    dT, fitness = icp.align(config, src, src_mask, dst, dst_mask, T0=T0)
     x_cand = se3.pose6_to_mat(kf.poses6[cand_idx])
     x_true = dT @ place_pose
     Z = se3.mat_inv(x_true) @ x_cand

@@ -104,12 +104,14 @@ def build_submap(config: PipelineConfig, kf: KeyframeStore):
     s_pts, s_mask = world(kf.surf[idx], kf.surf_mask[idx])
     o_pts, o_mask = world(kf.outlier[idx], kf.outlier_mask[idx])
 
-    corner, corner_mask, _ = voxel.voxel_downsample(
+    # O(n) hash decimation instead of exact centroid voxel grids: the
+    # submap is purely a nearest-neighbor target (see voxel.voxel_decimate).
+    corner, corner_mask = voxel.voxel_decimate(
         c_pts.reshape(-1, 3), c_mask.reshape(-1), m.corner_leaf,
         cap.submap_corner_pad)
     surf_all = jnp.concatenate([s_pts.reshape(-1, 3), o_pts.reshape(-1, 3)])
     surf_allm = jnp.concatenate([s_mask.reshape(-1), o_mask.reshape(-1)])
-    surf, surf_mask, _ = voxel.voxel_downsample(
+    surf, surf_mask = voxel.voxel_decimate(
         surf_all, surf_allm, m.surf_leaf, cap.submap_surf_pad)
     return corner, corner_mask, surf, surf_mask
 
@@ -137,11 +139,10 @@ def _surf_geometry(p_w, submap, submap_mask, m):
     idx, sqd = knn.knn(p_w, submap, submap_mask, m.knn)
     nn_ok = sqd[:, m.knn - 1] < m.max_nn_sq_dist
     pts = submap[idx]                              # (Q,5,3)
-    # Solve A n = -1 (least squares via normal equations).
+    # Solve A n = -1 (least squares via normal equations, closed form).
     AtA = jnp.einsum("qki,qkj->qij", pts, pts)
     Atb = -pts.sum(1)
-    n = jnp.linalg.solve(
-        AtA + 1e-8 * jnp.eye(3, dtype=pts.dtype)[None], Atb[..., None])[..., 0]
+    n = solver.solve3(AtA + 1e-8 * jnp.eye(3, dtype=pts.dtype)[None], Atb)
     norm = jnp.linalg.norm(n, axis=-1)
     norm = jnp.maximum(norm, 1e-9)
     nu = n / norm[:, None]
@@ -164,14 +165,18 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
 
     enough = (submap_cm.sum() > 10) & (submap_sm.sum() > m.min_submap_points)
 
-    def body(state):
-        T, it, done, Pm, degen = state
+    def research(T):
         pc_w = _transform(T, corner_q)
         ps_w = _transform(T, surf_q)
         la, lb, c_ok = _corner_geometry(pc_w, submap_c, submap_cm, m)
         nu, dof, s_ok = _surf_geometry(ps_w, submap_s, submap_sm, m)
-        c_ok &= corner_qmask
-        s_ok &= surf_qmask
+        return la, lb, c_ok & corner_qmask, nu, dof, s_ok & surf_qmask
+
+    def body(state):
+        T, it, done, Pm, degen, geom = state
+        geom = jax.lax.cond(it % m.research_every == 0,
+                            lambda: research(T), lambda: geom)
+        la, lb, c_ok, nu, dof, s_ok = geom
 
         def resid(delta):
             Td = se3.se3_exp(delta) @ T
@@ -210,14 +215,14 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
         done = solver.converged(delta[:3], delta[3:], m.delta_rot_deg,
                                 m.delta_trans_cm) | \
             (n_sel < m.min_correspondences)
-        return T, it + 1, done, Pm, degen
+        return T, it + 1, done, Pm, degen, geom
 
     def cond(state):
-        _, it, done, _, _ = state
-        return (~done) & (it < m.max_iterations)
+        return (~state[2]) & (state[1] < m.max_iterations)
 
+    geom0 = research(T_guess)
     state0 = (T_guess, jnp.int32(0), jnp.bool_(False),
-              jnp.eye(6, dtype=jnp.float32), jnp.bool_(False))
+              jnp.eye(6, dtype=jnp.float32), jnp.bool_(False), geom0)
     T_out, *_ = jax.lax.while_loop(cond, body, state0)
     return jnp.where(enough, T_out, T_guess)
 
@@ -229,12 +234,12 @@ def downsample_scan(config: PipelineConfig,
                     outlier: jnp.ndarray, outlier_mask: jnp.ndarray):
     """Current-scan voxel DS (downsampleCurrentScan, mO.cpp:1233-1263)."""
     cap, m = config.cap, config.mapping
-    c, cm, _ = voxel.voxel_downsample(corner, corner_mask, m.corner_leaf,
-                                      cap.kf_corner_pad)
-    s, sm, _ = voxel.voxel_downsample(surf, surf_mask, m.surf_leaf,
-                                      cap.kf_surf_pad)
-    o, om, _ = voxel.voxel_downsample(outlier, outlier_mask, m.outlier_leaf,
-                                      cap.kf_outlier_pad)
+    c, cm, _ = voxel.voxel_downsample_hash(corner, corner_mask, m.corner_leaf,
+                                           cap.kf_corner_pad)
+    s, sm, _ = voxel.voxel_downsample_hash(surf, surf_mask, m.surf_leaf,
+                                           cap.kf_surf_pad)
+    o, om, _ = voxel.voxel_downsample_hash(outlier, outlier_mask,
+                                           m.outlier_leaf, cap.kf_outlier_pad)
     return c, cm, s, sm, o, om
 
 

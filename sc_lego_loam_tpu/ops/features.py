@@ -116,14 +116,14 @@ def _suppress_positions(col, idx, count, feat: FeatureConfig):
     return pos_c, ok & in_row
 
 
-def _scatter_mark(arr, rowids, pos, mask, value=True):
-    """arr (H,W) bool; mark arr[rowids, pos] |= mask."""
-    H, W = arr.shape
-    flat = rowids * W + pos
-    upd = jnp.zeros((H * W,), bool).at[
-        jnp.where(mask, flat, 0).reshape(-1)].max(mask.reshape(-1),
-                                                  mode="drop")
-    return arr | upd.reshape(H, W)
+def _onehot_mark(W, pos, mask):
+    """Dense equivalent of scattering ``mask`` at columns ``pos``:
+    out[h,w] = any_{s,o}(pos[h,s,o]==w & mask[h,s,o]).  TPU scatters
+    serialize; this is a few broadcast compares + a reduction on the VPU.
+    pos/mask: (H,S,O) -> (H,W) bool."""
+    cols = jnp.arange(W, dtype=pos.dtype)
+    hit = (pos[..., None] == cols) & mask[..., None]     # (H,S,O,W)
+    return jnp.any(hit, axis=(1, 2))
 
 
 def extract(cloud: SegmentedCloud, feat: FeatureConfig,
@@ -137,7 +137,6 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     n = jnp.maximum(cloud.count, 1)[:, None]
     sec_id = jnp.minimum((pos * S) // n, S - 1)           # (H,W)
     sec_onehot = sec_id[:, None, :] == jnp.arange(S)[None, :, None]  # (H,S,W)
-    rowids = jax.lax.broadcasted_iota(jnp.int32, (H, S), 0)
 
     label = jnp.zeros((H, W), jnp.int8)
     NEG = jnp.float32(-1.0)
@@ -151,14 +150,11 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
         val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
         has = val > 0.0
         lab_val = jnp.where(k < feat.edge_per_section, jnp.int8(2), jnp.int8(1))
-        lab_upd = jnp.zeros((H * W,), jnp.int8).at[
-            jnp.where(has, rowids * W + idx, 0).reshape(-1)].max(
-            jnp.where(has, lab_val, jnp.int8(0)).reshape(-1), mode="drop")
-        label = jnp.maximum(label, lab_upd.reshape(H, W))
+        pick_plane = _onehot_mark(W, idx[..., None], has[..., None])
+        label = jnp.where(pick_plane, jnp.maximum(label, lab_val), label)
         spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
         smask &= has[..., None]
-        picked = _scatter_mark(picked, rowids[..., None] * jnp.ones_like(spos),
-                               spos, smask)
+        picked = picked | _onehot_mark(W, spos, smask)
         return label, picked
 
     label, picked = jax.lax.fori_loop(
@@ -171,16 +167,11 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
         idx = jnp.argmin(score, -1).astype(jnp.int32)
         val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
         has = val < BIG * 0.5
-        lab_upd = jnp.zeros((H * W,), jnp.int8).at[
-            jnp.where(has, rowids * W + idx, 0).reshape(-1)].max(
-            jnp.where(has, jnp.int8(1), jnp.int8(0)).reshape(-1), mode="drop")
-        # flat label is -1; track separately via a bool plane.
-        flat_new = (lab_upd.reshape(H, W) > 0)
-        label = jnp.where(flat_new, jnp.int8(-1), label)
+        pick_plane = _onehot_mark(W, idx[..., None], has[..., None])
+        label = jnp.where(pick_plane, jnp.int8(-1), label)
         spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
         smask &= has[..., None]
-        picked = _scatter_mark(picked, rowids[..., None] * jnp.ones_like(spos),
-                               spos, smask)
+        picked = picked | _onehot_mark(W, spos, smask)
         return label, picked
 
     label, picked = jax.lax.fori_loop(
@@ -189,10 +180,9 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     rings = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 
     def gather_class(mask, pad):
+        from .compact import compact_indices
         m = mask.reshape(-1)
-        idx = jnp.nonzero(m, size=pad, fill_value=0)[0]
-        cnt = m.sum()
-        ok = jnp.arange(pad) < cnt
+        idx, ok = compact_indices(m, pad)
         return FeatureCloud(
             xyz=jnp.where(ok[:, None], cloud.xyz.reshape(-1, 3)[idx], 0.0),
             mask=ok,
@@ -210,7 +200,8 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     pts = cloud.xyz.reshape(-1, 3)
     extras = jnp.stack([rings.reshape(-1).astype(jnp.float32),
                         cloud.rel_time.reshape(-1)], -1)
-    ds_pts, ds_mask, ds_ex = voxel_downsample(
+    from .voxel import voxel_downsample_hash
+    ds_pts, ds_mask, ds_ex = voxel_downsample_hash(
         pts, lf_mask.reshape(-1), feat.less_flat_leaf, cap.less_flat_pad,
         extras=extras)
     less_flat = FeatureCloud(

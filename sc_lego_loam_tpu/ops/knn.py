@@ -24,20 +24,30 @@ def _block_sqdist(q, t):
 
 
 def knn(query: jnp.ndarray, target: jnp.ndarray, target_mask: jnp.ndarray,
-        k: int, chunk: int = 512):
+        k: int, chunk: int = 512, approx: bool | None = None):
     """query (Q,3), target (T,3) with mask; returns (idx (Q,k), sqd (Q,k)).
 
     Invalid targets are pushed to +inf distance; callers gate on sqd.
     Q must be divisible by ``chunk`` (pads are powers of two by config).
+
+    ``approx=True`` uses the TPU-native approx_max_k reduction (recall
+    ~0.95) instead of a full per-row sort — the LM solvers' robust weights
+    tolerate the occasional 6th-nearest substitute, and it is several
+    times faster at T ~ 1e5.
     """
     Q = query.shape[0]
     chunk = min(chunk, Q)
     assert Q % chunk == 0, (Q, chunk)
+    if approx is None:
+        approx = target.shape[0] >= 32768   # wins only at large T
     tmask = jnp.where(target_mask, 0.0, _BIG)[None, :]
 
     def one(qc):
         d = _block_sqdist(qc, target) + tmask
-        neg, idx = jax.lax.top_k(-d, k)
+        if approx:
+            neg, idx = jax.lax.approx_max_k(-d, k, recall_target=0.95)
+        else:
+            neg, idx = jax.lax.top_k(-d, k)
         return idx, -neg
 
     idx, sqd = jax.lax.map(one, query.reshape(-1, chunk, 3))

@@ -71,3 +71,63 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
 
 def downsample_count(mask_out: jnp.ndarray) -> jnp.ndarray:
     return mask_out.sum().astype(jnp.int32)
+
+
+def voxel_downsample_hash(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
+                          out_pad: int, table_bits: int = 16,
+                          extras: jnp.ndarray | None = None):
+    """Hash-bucket centroid voxel downsample — the sort-free fast path.
+
+    Same semantics as voxel_downsample (per-voxel centroids) except voxels
+    are identified by a hashed id, so rare collisions merge distant voxels
+    (~load-factor/2 probability per bucket); all hot-path consumers
+    (feature DS, scan DS, submap assembly) tolerate that.  Cost: two
+    scatter-adds + a cumsum compaction — no argsort.
+    """
+    from .compact import compact_indices
+    T = 1 << table_bits
+    v = jnp.floor(points / leaf).astype(jnp.int32)
+    h = (v[:, 0] * 73856093) ^ (v[:, 1] * 19349669) ^ (v[:, 2] * 83492791)
+    bucket = jnp.where(mask, (h & (T - 1)).astype(jnp.int32), 0)
+    w = mask.astype(points.dtype)
+    sums = jnp.zeros((T, 3), points.dtype).at[bucket].add(
+        points * w[:, None], mode="drop")
+    cnts = jnp.zeros((T,), points.dtype).at[bucket].add(w, mode="drop")
+    occupied = cnts > 0
+    idx, ok = compact_indices(occupied, out_pad)
+    centroid = sums[idx] / jnp.maximum(cnts[idx], 1.0)[:, None]
+    out = jnp.where(ok[:, None], centroid, 0.0)
+    if extras is not None:
+        esums = jnp.zeros((T, extras.shape[1]), extras.dtype).at[bucket].add(
+            extras * w[:, None], mode="drop")
+        eout = esums[idx] / jnp.maximum(cnts[idx], 1.0)[:, None]
+        return out, ok, jnp.where(ok[:, None], eout, 0.0)
+    return out, ok, None
+
+
+def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
+                   out_pad: int, table_bits: int = 18):
+    """O(n) voxel decimation: keep ONE representative point per voxel via a
+    hash scatter-min (no sort).  Used for large submap assembly where the
+    map is only a nearest-neighbor target — PCL-style centroids (see
+    voxel_downsample) are unnecessary there, and the three stable argsorts
+    they need dominate the frame budget at ~1e6 points.
+
+    Hash collisions merge distant voxels (rare at 2^table_bits buckets);
+    acceptable for NN targets. Returns (points (out_pad,3), mask (out_pad,)).
+    """
+    n = points.shape[0]
+    T = 1 << table_bits
+    v = jnp.floor(points / leaf).astype(jnp.int32)
+    h = (v[:, 0] * 73856093) ^ (v[:, 1] * 19349669) ^ (v[:, 2] * 83492791)
+    bucket = (h & (T - 1)).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    winner = jnp.full((T,), n, jnp.int32).at[
+        jnp.where(mask, bucket, 0)].min(jnp.where(mask, idx, n), mode="drop")
+    occupied = winner < n
+    # Compact occupied buckets to the fixed-size output (sort-free).
+    from .compact import compact_indices
+    sel, ok = compact_indices(occupied, out_pad)
+    out_idx = jnp.clip(winner[sel], 0, n - 1)
+    out = jnp.where(ok[:, None], points[out_idx], 0.0)
+    return out, ok

@@ -38,21 +38,29 @@ def _extract(config: PipelineConfig, cloud, outlier_grid):
     fs = features_op.extract(cloud, config.feat, config.cap)
     # Outlier grid -> padded list (adjustOutlierCloud analog,
     # fA.cpp:1746-1757 just forwards it at 5 Hz).
-    flat_mask = outlier_grid.valid.reshape(-1)
-    idx = jnp.nonzero(flat_mask, size=config.cap.outlier_pad,
-                      fill_value=0)[0]
-    ok = jnp.arange(config.cap.outlier_pad) < flat_mask.sum()
-    out_pts = jnp.where(ok[:, None],
-                        outlier_grid.xyz.reshape(-1, 3)[idx], 0.0)
+    from .ops.compact import compact
+    out_pts, ok = compact(outlier_grid.xyz.reshape(-1, 3),
+                          outlier_grid.valid.reshape(-1),
+                          config.cap.outlier_pad)
     return fs, out_pts, ok
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _perception_step(config: PipelineConfig, points, mask, odo_state):
+    """Fused per-scan device step: frontend -> features -> odometry.
+    One dispatch per scan; XLA schedules the whole graph."""
+    fo = frontend.run(config, points, mask)
+    fs, out_pts, out_mask = _extract(config, fo.cloud, fo.outlier)
+    new_state, odom_pose, xi = odometry.step(config, odo_state, fs)
+    return new_state, odom_pose, xi, out_pts, out_mask
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _sc_input(config: PipelineConfig, points, mask):
     """Raw cloud downsampled for Scan Context (mO.cpp:263,1626-1634)."""
-    pts, m, _ = voxel.voxel_downsample(points, mask,
-                                       config.mapping.sc_input_leaf,
-                                       config.cap.sc_cloud_pad)
+    pts, m, _ = voxel.voxel_downsample_hash(points, mask,
+                                            config.mapping.sc_input_leaf,
+                                            config.cap.sc_cloud_pad)
     return scan_context.make_descriptor(pts, m, config.sc)
 
 
@@ -76,6 +84,11 @@ class SlamEngine:
         self.n_loops_closed = 0
         self.trajectory = []       # host record: (t, fused pose np (4,4))
         self.timer = StageTimer()  # per-stage wall clock (SURVEY.md par.5)
+        # Submap cache: rebuilt only when the keyframe set (or its poses,
+        # after a loop closure) changes — the reference's incremental
+        # radius-search cache plays the same role (mO.cpp:1167-1222).
+        self._submap = None
+        self._submap_key = -1
 
     # ------------------------------------------------------------------ #
 
@@ -85,12 +98,9 @@ class SlamEngine:
         points = jnp.asarray(points, jnp.float32)
         mask = jnp.asarray(mask, bool)
 
-        with self.timer.stage("frontend"):
-            fo = frontend.run(cfg, points, mask)
-            fs, out_pts, out_mask = _extract(cfg, fo.cloud, fo.outlier)
-            jax.block_until_ready(fs.sharp.xyz)
-        with self.timer.stage("odometry"):
-            self.odo, odom_pose, _ = odometry.step(cfg, self.odo, fs)
+        with self.timer.stage("perception"):
+            self.odo, odom_pose, _, out_pts, out_mask = _perception_step(
+                cfg, points, mask, self.odo)
             jax.block_until_ready(odom_pose)
 
         if t - self.last_map_time >= cfg.mapping.process_interval:
@@ -115,7 +125,11 @@ class SlamEngine:
             out_pts, out_mask)
 
         T_guess = st.correction @ odom_pose
-        sub_c, sub_cm, sub_s, sub_sm = _build_submap(cfg, st.kf)
+        key = int(st.kf.count) + (self.n_loops_closed << 32)
+        if self._submap is None or self._submap_key != key:
+            self._submap = _build_submap(cfg, st.kf)
+            self._submap_key = key
+        sub_c, sub_cm, sub_s, sub_sm = self._submap
         surf_q = jnp.concatenate([s, o])
         surf_qm = jnp.concatenate([sm, om])
         pose = mapping.scan_to_map(cfg, T_guess, c, cm, surf_q, surf_qm,
@@ -148,13 +162,16 @@ class SlamEngine:
         cur_idx = int(kf.count) - 1
 
         closed = False
-        # Scan Context path (mO.cpp:914-949,1053-1093).
-        sc_idx, sc_dist, _ = scan_context.detect(cfg, self.bank, cur_desc)
+        # Scan Context path (mO.cpp:914-949,1053-1093); the SC yaw seeds
+        # the verification ICP so reverse loops close too.
+        sc_idx, sc_dist, sc_yaw = scan_context.detect(cfg, self.bank,
+                                                      cur_desc)
         sc_idx = int(sc_idx)
         if sc_idx >= 0:
             place = se3.pose6_to_mat(kf.poses6[sc_idx])
             Z, fit, ok = loop.verify(cfg, kf, jnp.int32(cur_idx),
-                                     jnp.int32(sc_idx), place)
+                                     jnp.int32(sc_idx), place,
+                                     yaw_init=sc_yaw)
             if bool(ok):
                 self.loops = posegraph.add_loop(
                     self.loops, jnp.int32(cur_idx), jnp.int32(sc_idx), Z)

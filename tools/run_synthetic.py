@@ -72,6 +72,8 @@ def main():
           f"{np.degrees(rpe_r):.3f} deg")
     print(f"keyframes: {int(engine.map.kf.count)}  "
           f"loop closures: {engine.n_loops_closed}")
+    print("\nper-stage timings (post-warmup):")
+    print(engine.timer.table(skip_first=2))
 
     if args.export:
         from sc_lego_loam_tpu.utils import export
