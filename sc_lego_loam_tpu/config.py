@@ -90,7 +90,7 @@ class SegmentationConfig:
     # Parallel flood-fill: label-propagation sweeps per pointer-jump round and
     # max rounds.  64x1024 components converge in far fewer rounds thanks to
     # pointer jumping (see ops/segmentation.py).
-    max_label_rounds: int = 16
+    max_label_rounds: int = 20
 
 
 @dataclass(frozen=True)

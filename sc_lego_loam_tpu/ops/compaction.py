@@ -71,19 +71,33 @@ def compact(img: RangeImage, seg_res: Segmentation, ground: jnp.ndarray,
 
 def _row_compact(img: RangeImage, keep: jnp.ndarray, ground: jnp.ndarray,
                  cols: jnp.ndarray) -> SegmentedCloud:
+    """Kept pixels to the front of their row, preserving column order.
+
+    Sort-free: since the W axis IS column order, this is a stable masked
+    compaction — one row-wise cumsum for destinations plus one scatter per
+    channel (sorts at this size cost ~ms on the TPU runtime; this is ~us).
+    """
     H, W = keep.shape
-    key = jnp.where(keep, cols, W + 1)
-    order = jnp.argsort(key, axis=1)              # kept pixels first, by col
-    gather = jax.vmap(lambda a, o: a[o])
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    dest = jnp.where(keep, rows * W + pos, H * W)    # junk slot at the end
+
+    def scat(a, fill=0):
+        a2 = a.reshape(H * W, -1)
+        table = jnp.full((H * W + 1, a2.shape[1]), fill, a2.dtype).at[
+            dest.reshape(-1)].set(a2)
+        out = table[:H * W]
+        return out.reshape((H, W) + a.shape[2:])
+
     count = keep.sum(-1).astype(jnp.int32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    valid = pos < count[:, None]
+    posw = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = posw < count[:, None]
     return SegmentedCloud(
-        xyz=gather(img.xyz, order),
-        rng=gather(img.rng, order),
-        col=gather(cols, order),
-        ground=gather(ground, order),
+        xyz=scat(img.xyz),
+        rng=scat(img.rng),
+        col=scat(cols),
+        ground=scat(ground),
         valid=valid,
         count=count,
-        rel_time=gather(img.rel_time, order),
+        rel_time=scat(img.rel_time),
     )

@@ -55,28 +55,27 @@ def project(points: jnp.ndarray, mask: jnp.ndarray,
     colf = azim / jnp.float32(lidar.ang_res_x_rad)
     col = jnp.mod(jnp.round(colf).astype(jnp.int32), W)
 
-    # Scatter-min on range to pick the closest return per pixel; carry the
-    # point index of the winner to gather coordinates.
-    flat = row * W + col
-    flat = jnp.where(ok, flat, 0)
-    big = jnp.float32(1e9)
-    r_key = jnp.where(ok, r, big)
-    grid_r = jnp.full((H * W,), big, jnp.float32).at[flat].min(
-        r_key, mode="drop")
-    # winner index: scatter-min over (range-encoded) keys with index payload.
-    # Encode (range, idx) into a single sortable float? Safer: scatter-min of
-    # idx among points that achieved the per-pixel min range.
+    # ONE scatter-min of a packed (quantized range, point index) key picks
+    # the nearest return per pixel and its source point together.  (The
+    # reference keeps the LAST writer, imageProjection.cpp:247-256; nearest
+    # is an equally valid sampling and deterministic.)  Packing: range
+    # quantized to 12.5 cm in the upper bits — ties broken by point index —
+    # exact range recovered from the winning point.
     n = points.shape[0]
+    assert n <= (1 << 16), "pack assumes <=65536 points per scan"
+    flat = jnp.where(ok, row * W + col, 0)
+    rq = jnp.clip((r * 8.0).astype(jnp.int32), 0, (1 << 14) - 2)  # < sentinel
     idx = jnp.arange(n, dtype=jnp.int32)
-    is_winner = ok & (r_key <= grid_r[flat] + 1e-6)
-    win_idx = jnp.full((H * W,), n, jnp.int32).at[
-        jnp.where(is_winner, flat, 0)].min(
-        jnp.where(is_winner, idx, n), mode="drop")
-
-    valid = (grid_r < big) & (win_idx < n)
-    win = jnp.clip(win_idx, 0, n - 1)
-    xyz = jnp.where(valid[:, None], points[win], 0.0).reshape(H, W, 3)
-    rngm = jnp.where(valid, grid_r, 0.0).reshape(H, W)
+    key = (rq << 16) | idx
+    SENT = jnp.int32((1 << 30) - 1)
+    packed = jnp.full((H * W,), SENT, jnp.int32).at[flat].min(
+        jnp.where(ok, key, SENT), mode="drop")
+    valid = packed < SENT
+    win = jnp.clip(packed & 0xFFFF, 0, n - 1)
+    pts_w = points[win]
+    rngm = jnp.where(valid, jnp.linalg.norm(pts_w, axis=-1), 0.0
+                     ).reshape(H, W)
+    xyz = jnp.where(valid[:, None], pts_w, 0.0).reshape(H, W, 3)
     validm = valid.reshape(H, W)
 
     # Intra-scan relative time from the column (the reference derives it from

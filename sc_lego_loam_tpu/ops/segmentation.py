@@ -85,21 +85,23 @@ def segment(img: RangeImage, ground: jnp.ndarray, lidar: LidarConfig,
 
     sentinel = jnp.array([n], jnp.int32)
 
-    def body(state):
-        lab, _ = state
+    def body(_, lab):
         new = gather_neighbor_min(lab)
-        # Pointer jumping: follow the label chain a few hops (labels are flat
-        # indices, so lab[lab] contracts chains exponentially). Index n is the
-        # inactive sentinel; extend the table so it maps to itself.
-        for _ in range(3):
+        # Pointer jumping: follow the label chain several hops (labels are
+        # flat indices, so lab[lab] contracts chains exponentially). Index n
+        # is the inactive sentinel; extend the table so it maps to itself.
+        for _h in range(4):
             ext = jnp.concatenate([new, sentinel])
             new = ext[new]
-        new = jnp.where(init < n, new, n)
-        changed = jnp.any(new != lab)
-        return new, changed
+        return jnp.where(init < n, new, n)
 
-    label, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (init, jnp.bool_(True)))
+    # Bounded sweeps instead of a convergence-tested while loop: with
+    # pointer jumping each round at least doubles the propagation front, so
+    # max_label_rounds covers any component a 64x1024 grid produces; a
+    # data-dependent while loop would also force a device reduction per
+    # iteration.  Unconverged leftovers (astronomically rare) would split a
+    # giant component — harmless for the validity rule.
+    label = jax.lax.fori_loop(0, seg.max_label_rounds, body, init)
 
     # Component statistics: count and distinct-row count per root label.
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)

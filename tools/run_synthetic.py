@@ -31,11 +31,14 @@ def main():
                     help="optional path prefix for map/trajectory export")
     args = ap.parse_args()
 
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
-
     import jax
+    if args.platform:
+        # Env vars are overridden by a site hook on this box; the config
+        # API wins (see tests/conftest.py).
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from sc_lego_loam_tpu.config import tiny_test_config, synthetic_config
     from sc_lego_loam_tpu.pipeline import SlamEngine
     from sc_lego_loam_tpu.utils import synthetic, evaluate
