@@ -39,7 +39,7 @@ def main():
     cfg = synthetic_config()
     scans, valids, gt = synthetic.make_sequence(
         cfg.lidar, N_SCANS, trajectory="straight", step=0.4, noise=0.01,
-        seed=11)
+        seed=11, shuffle=False)    # beam-ordered, as real sensors emit
 
     engine = SlamEngine(cfg)
     # Warmup: trigger every compile path (incl. mapping + the loop-closure

@@ -40,6 +40,12 @@ class LidarConfig:
     min_range: float = 1.0             # utility.h:115 sensorMinimumRange
     max_range: float = 120.0           # cull for synthetic / projection sanity
     mount_angle: float = 0.0           # utility.h:116 sensorMountAngle
+    # True when the input stream is beam-ordered (point i belongs to pixel
+    # (i // horizon, i % horizon)) — the useCloudRing analog
+    # (utility.h:64): projection becomes a reshape instead of a scatter,
+    # which TPUs strongly prefer.  Ouster/Velodyne packets are ordered;
+    # set False only for genuinely unordered clouds.
+    ordered: bool = False
 
     @property
     def ang_res_x_rad(self) -> float:
@@ -90,7 +96,7 @@ class SegmentationConfig:
     # Parallel flood-fill: label-propagation sweeps per pointer-jump round and
     # max rounds.  64x1024 components converge in far fewer rounds thanks to
     # pointer jumping (see ops/segmentation.py).
-    max_label_rounds: int = 20
+    max_label_rounds: int = 6
 
 
 @dataclass(frozen=True)
@@ -275,8 +281,11 @@ def vlp16_config() -> PipelineConfig:
 
 
 def synthetic_config() -> PipelineConfig:
-    """Full-size config for instantaneous (undistorted) synthetic clouds."""
-    return PipelineConfig(odom=OdometryConfig(deskew=False))
+    """Full-size config for instantaneous (undistorted) synthetic clouds,
+    emitted beam-ordered (ordered=True -> reshape projection)."""
+    return PipelineConfig(
+        lidar=dataclasses.replace(OS1_64, ordered=True),
+        odom=OdometryConfig(deskew=False))
 
 
 def tiny_test_config() -> PipelineConfig:

@@ -31,7 +31,10 @@ class FrontendOutput(NamedTuple):
 def run(config: PipelineConfig, points: jnp.ndarray,
         mask: jnp.ndarray) -> FrontendOutput:
     """points: (N,3) float32 sensor frame (padded), mask: (N,) bool."""
-    img = projection.project(points, mask, config.lidar)
+    if config.lidar.ordered:
+        img = projection.project_ordered(points, mask, config.lidar)
+    else:
+        img = projection.project(points, mask, config.lidar)
     g = ground.ground_mask(img, config.lidar, config.seg)
     s = segmentation.segment(img, g, config.lidar, config.seg)
     cloud, outlier = compaction.compact(img, s, g, config.lidar, config.seg)

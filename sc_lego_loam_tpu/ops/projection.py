@@ -33,6 +33,21 @@ class RangeImage(NamedTuple):
                             #  featureAssociation.cpp:504-523)
 
 
+def project_ordered(points: jnp.ndarray, mask: jnp.ndarray,
+                    lidar: LidarConfig) -> RangeImage:
+    """Beam-ordered fast path: point i IS pixel (i//W, i%W) — a reshape
+    plus elementwise validation; no scatter (the useCloudRing analog,
+    imageProjection.cpp:225-231 with the ring channel trusted)."""
+    H, W = lidar.n_scan, lidar.horizon_scan
+    xyz = points.reshape(H, W, 3)
+    r = jnp.linalg.norm(xyz, axis=-1)
+    valid = mask.reshape(H, W) & (r > lidar.min_range) & (r < lidar.max_range)
+    rel = (jnp.arange(W, dtype=jnp.float32) / W)[None, :].repeat(H, 0)
+    return RangeImage(xyz=jnp.where(valid[..., None], xyz, 0.0),
+                      rng=jnp.where(valid, r, 0.0), valid=valid,
+                      rel_time=jnp.where(valid, rel, 0.0))
+
+
 def project(points: jnp.ndarray, mask: jnp.ndarray,
             lidar: LidarConfig) -> RangeImage:
     """Project a padded unordered cloud into an (n_scan, horizon) range image.

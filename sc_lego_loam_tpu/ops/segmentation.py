@@ -68,40 +68,44 @@ def segment(img: RangeImage, ground: jnp.ndarray, lidar: LidarConfig,
     conn_d = jnp.concatenate([jnp.zeros((1, W), bool), conn_u[:-1]], 0)
 
     n = H * W
-    init = jnp.where(active.reshape(-1), jnp.arange(n, dtype=jnp.int32), n)
+    init2d = jnp.where(active, jax.lax.broadcasted_iota(
+        jnp.int32, (H, W), 0) * W + jax.lax.broadcasted_iota(
+        jnp.int32, (H, W), 1), n)
 
-    def gather_neighbor_min(lab):
-        lab2 = lab.reshape(H, W)
-        cand = lab2
-        ln = jnp.roll(lab2, 1, 1)
-        rn = jnp.roll(lab2, -1, 1)
-        un = jnp.concatenate([lab2[1:], jnp.full((1, W), n, jnp.int32)], 0)
-        dn = jnp.concatenate([jnp.full((1, W), n, jnp.int32), lab2[:-1]], 0)
-        cand = jnp.minimum(cand, jnp.where(conn_l, ln, n))
-        cand = jnp.minimum(cand, jnp.where(conn_r, rn, n))
-        cand = jnp.minimum(cand, jnp.where(conn_u, un, n))
-        cand = jnp.minimum(cand, jnp.where(conn_d, dn, n))
-        return cand.reshape(-1)
+    # Label propagation by SEGMENTED MIN-SCANS (shift-based associative
+    # scans — no gathers/scatters, which this TPU runtime executes poorly).
+    # A segment boundary sits wherever two neighbors fail the angle
+    # criterion; one scan propagates the running min along every connected
+    # run in one direction; a round does all four directions (rows wrap via
+    # width doubling).  Bounded rounds replace the reference's BFS: shapes
+    # needing more direction changes than rounds (deep spirals) would
+    # split — irrelevant for real lidar clusters and gated by the
+    # BFS-parity test.
+    def seg_scan(vals, boundary, axis, reverse):
+        def op(a, b):
+            va, fa = a
+            vb, fb = b
+            return jnp.where(fb, vb, jnp.minimum(va, vb)), fa | fb
+        v, _ = jax.lax.associative_scan(
+            op, (vals, boundary), axis=axis, reverse=reverse)
+        return v
 
-    sentinel = jnp.array([n], jnp.int32)
+    def one_round(_, lab):
+        # Rows, with horizontal wrap: double the width.
+        lab2 = jnp.concatenate([lab, lab], 1)
+        bl = jnp.concatenate([~conn_l, ~conn_l], 1)
+        lab = seg_scan(lab2, bl, 1, False)[:, W:]
+        lab2 = jnp.concatenate([lab, lab], 1)
+        br = jnp.concatenate([~conn_r, ~conn_r], 1)
+        lab = seg_scan(lab2, br, 1, True)[:, :W]
+        # Columns (no wrap).
+        lab = seg_scan(lab, ~conn_d, 0, False)
+        lab = seg_scan(lab, ~conn_u, 0, True)
+        return jnp.where(active, lab, n)
 
-    def body(_, lab):
-        new = gather_neighbor_min(lab)
-        # Pointer jumping: follow the label chain several hops (labels are
-        # flat indices, so lab[lab] contracts chains exponentially). Index n
-        # is the inactive sentinel; extend the table so it maps to itself.
-        for _h in range(4):
-            ext = jnp.concatenate([new, sentinel])
-            new = ext[new]
-        return jnp.where(init < n, new, n)
-
-    # Bounded sweeps instead of a convergence-tested while loop: with
-    # pointer jumping each round at least doubles the propagation front, so
-    # max_label_rounds covers any component a 64x1024 grid produces; a
-    # data-dependent while loop would also force a device reduction per
-    # iteration.  Unconverged leftovers (astronomically rare) would split a
-    # giant component — harmless for the validity rule.
-    label = jax.lax.fori_loop(0, seg.max_label_rounds, body, init)
+    label = jax.lax.fori_loop(0, seg.max_label_rounds, one_round,
+                              init2d).reshape(-1)
+    init = init2d.reshape(-1)
 
     # Component statistics: count and distinct-row count per root label.
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)

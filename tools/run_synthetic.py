@@ -50,7 +50,8 @@ def main():
     kw = dict(step=args.step) if args.traj == "straight" else dict(
         radius=30.0, loops=1.05)
     scans, valids, gt = synthetic.make_sequence(
-        cfg.lidar, args.scans, trajectory=args.traj, noise=0.01, seed=7, **kw)
+        cfg.lidar, args.scans, trajectory=args.traj, noise=0.01, seed=7,
+        shuffle=not cfg.lidar.ordered, **kw)
 
     engine = SlamEngine(cfg)
     t0 = time.time()
