@@ -27,8 +27,18 @@ import jax
 import jax.numpy as jnp
 
 from .config import PipelineConfig
-from .ops import knn, solver, voxel
+from .ops import knn, pallas_knn, solver, voxel
 from .utils import se3
+
+
+def _make_knn5(submap, submap_mask, m):
+    """5-NN closure: fused Pallas kernel on TPU (with the loop-invariant
+    target prep hoisted), XLA tiles elsewhere."""
+    if jax.default_backend() == "tpu":
+        tpad, tt = pallas_knn.prepare_targets(submap, submap_mask)
+        return lambda q: pallas_knn.knn_pallas_prepared(
+            q, tpad, tt, k=m.knn, max_sq_dist=4.0 * m.max_nn_sq_dist)
+    return lambda q: knn.knn(q, submap, submap_mask, m.knn)
 
 _BIG = jnp.float32(1e18)
 
@@ -116,10 +126,10 @@ def build_submap(config: PipelineConfig, kf: KeyframeStore):
     return corner, corner_mask, surf, surf_mask
 
 
-def _corner_geometry(p_w, submap, submap_mask, m):
+def _corner_geometry(p_w, submap, knn5, m):
     """Line fits from 5-NN (cornerOptimization, mO.cpp:1265-1346).
     Returns (a, b, valid): the two virtual line points per query."""
-    idx, sqd = knn.knn(p_w, submap, submap_mask, m.knn)
+    idx, sqd = knn5(p_w)
     nn_ok = sqd[:, m.knn - 1] < m.max_nn_sq_dist
     pts = submap[idx]                              # (Q,5,3)
     center = pts.mean(1)
@@ -133,10 +143,10 @@ def _corner_geometry(p_w, submap, submap_mask, m):
     return a, b, nn_ok & is_line
 
 
-def _surf_geometry(p_w, submap, submap_mask, m):
+def _surf_geometry(p_w, submap, knn5, m):
     """Plane fits from 5-NN (surfOptimization, mO.cpp:1348-1399).
     Returns (n, d, valid): unit plane normal + offset per query."""
-    idx, sqd = knn.knn(p_w, submap, submap_mask, m.knn)
+    idx, sqd = knn5(p_w)
     nn_ok = sqd[:, m.knn - 1] < m.max_nn_sq_dist
     pts = submap[idx]                              # (Q,5,3)
     # Solve A n = -1 (least squares via normal equations, closed form).
@@ -165,11 +175,14 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
 
     enough = (submap_cm.sum() > 10) & (submap_sm.sum() > m.min_submap_points)
 
+    knn_c = _make_knn5(submap_c, submap_cm, m)
+    knn_s = _make_knn5(submap_s, submap_sm, m)
+
     def research(T):
         pc_w = _transform(T, corner_q)
         ps_w = _transform(T, surf_q)
-        la, lb, c_ok = _corner_geometry(pc_w, submap_c, submap_cm, m)
-        nu, dof, s_ok = _surf_geometry(ps_w, submap_s, submap_sm, m)
+        la, lb, c_ok = _corner_geometry(pc_w, submap_c, knn_c, m)
+        nu, dof, s_ok = _surf_geometry(ps_w, submap_s, knn_s, m)
         return la, lb, c_ok & corner_qmask, nu, dof, s_ok & surf_qmask
 
     def body(state):
@@ -232,18 +245,21 @@ def downsample_scan(config: PipelineConfig,
                     corner: jnp.ndarray, corner_mask: jnp.ndarray,
                     surf: jnp.ndarray, surf_mask: jnp.ndarray,
                     outlier: jnp.ndarray, outlier_mask: jnp.ndarray):
-    """Current-scan voxel DS (downsampleCurrentScan, mO.cpp:1233-1263)."""
+    """Current-scan voxel DS (downsampleCurrentScan, mO.cpp:1233-1263).
+    Per-scan clouds are <=8k points: 2^14 hash buckets suffice (and the
+    bucket-table passes dominate the cost)."""
     cap, m = config.cap, config.mapping
     c, cm, _ = voxel.voxel_downsample_hash(corner, corner_mask, m.corner_leaf,
-                                           cap.kf_corner_pad)
+                                           cap.kf_corner_pad, table_bits=14)
     s, sm, _ = voxel.voxel_downsample_hash(surf, surf_mask, m.surf_leaf,
-                                           cap.kf_surf_pad)
+                                           cap.kf_surf_pad, table_bits=14)
     o, om, _ = voxel.voxel_downsample_hash(outlier, outlier_mask,
-                                           m.outlier_leaf, cap.kf_outlier_pad)
+                                           m.outlier_leaf, cap.kf_outlier_pad,
+                                           table_bits=14)
     return c, cm, s, sm, o, om
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(1,))
 def insert_keyframe(config: PipelineConfig, kf: KeyframeStore,
                     pose: jnp.ndarray, time: jnp.ndarray,
                     corner: jnp.ndarray, corner_mask: jnp.ndarray,

@@ -112,20 +112,25 @@ def _find_surf(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
     return j, l2, l3, valid
 
 
-def _deskew(xi, pts, s):
+def _deskew(xi, pts, s, interpolate=True):
     """p_start = exp(s * xi) p — motion-interpolated de-skew
-    (fA.cpp:860-883)."""
+    (fA.cpp:860-883).  With ``interpolate=False`` (instantaneous clouds,
+    s == 1) this is ONE exp + one matmul instead of N small matrices —
+    which matters inside jacfwd."""
+    if not interpolate:
+        T = se3.se3_exp(xi)
+        return pts @ T[:3, :3].T + T[:3, 3]
     T = se3.se3_exp(s[:, None] * xi[None, :])      # (N,4,4)
     return (T[:, :3, :3] @ pts[..., None])[..., 0] + T[:, :3, 3]
 
 
-def _corner_residual(xi, q, s, a, b):
-    p = _deskew(xi, q, s)
+def _corner_residual(xi, q, s, a, b, interpolate=True):
+    p = _deskew(xi, q, s, interpolate)
     return residuals.point_to_line(p, a, b)
 
 
-def _surf_residual(xi, q, s, a, b, c):
-    p = _deskew(xi, q, s)
+def _surf_residual(xi, q, s, a, b, c, interpolate=True):
+    p = _deskew(xi, q, s, interpolate)
     return residuals.point_to_plane(p, a, b, c)
 
 
@@ -217,15 +222,18 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
         enough = (sharp.mask.sum() >= ocfg.min_feature_points) & \
                  (flat.mask.sum() >= ocfg.min_surf_points)
 
+        dk = ocfg.deskew
+
         # Stage 1: surf features -> [roll, pitch, tz] = twist idx [0,1,5].
         def surf_research(xi):
-            q = _deskew(xi, flat.xyz, flat.rel_time)
+            q = _deskew(xi, flat.xyz, flat.rel_time, dk)
             return _find_surf(q, flat.mask, surf_t, ocfg)
 
         def surf_resid(xi, corres):
             j, l2, l3, valid = corres
             r = _surf_residual(xi, flat.xyz, flat.rel_time,
-                               surf_t.xyz[j], surf_t.xyz[l2], surf_t.xyz[l3])
+                               surf_t.xyz[j], surf_t.xyz[l2], surf_t.xyz[l3],
+                               dk)
             return r, valid
 
         xi1 = _stage_loop(xi0, (0, 1, 5), surf_research, surf_resid,
@@ -233,13 +241,13 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
 
         # Stage 2: corner features -> [yaw, tx, ty] = twist idx [2,3,4].
         def corner_research(xi):
-            q = _deskew(xi, sharp.xyz, sharp.rel_time)
+            q = _deskew(xi, sharp.xyz, sharp.rel_time, dk)
             return _find_corner(q, sharp.mask, corner_t, ocfg)
 
         def corner_resid(xi, corres):
             j, l2, valid = corres
             r = _corner_residual(xi, sharp.xyz, sharp.rel_time,
-                                 corner_t.xyz[j], corner_t.xyz[l2])
+                                 corner_t.xyz[j], corner_t.xyz[l2], dk)
             return r, valid
 
         xi2 = _stage_loop(xi1, (2, 3, 4), corner_research, corner_resid,
@@ -255,8 +263,8 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
         T_inv = se3.mat_inv(T_rel)
 
         def to_end(fc: FeatureCloud) -> FeatureCloud:
-            s = fc.rel_time if ocfg.deskew else jnp.ones_like(fc.rel_time)
-            p_start = _deskew(xi, fc.xyz, s)
+            s = fc.rel_time
+            p_start = _deskew(xi, fc.xyz, s, ocfg.deskew)
             p_end = (T_inv[:3, :3] @ p_start[..., None])[..., 0] + T_inv[:3, 3]
             return fc._replace(xyz=jnp.where(fc.mask[:, None], p_end, 0.0))
 

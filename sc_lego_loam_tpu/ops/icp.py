@@ -17,7 +17,18 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from .knn import nn1
+from . import pallas_knn
 from ..utils import se3
+
+
+def _nn1(p, dst, dst_mask):
+    """1-NN dispatch: fused Pallas kernel on TPU, XLA tiles elsewhere.
+    max_sq_dist 64 keeps quantization fine enough for the fitness gate."""
+    if jax.default_backend() == "tpu":
+        idx, sqd = pallas_knn.knn_pallas(p, dst, dst_mask, k=1,
+                                         max_sq_dist=64.0)
+        return idx[:, 0], sqd[:, 0]
+    return nn1(p, dst, dst_mask)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -33,7 +44,7 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
     def body(state):
         T, it, done = state
         p = se3.transform_points(T, src[None])[0]
-        idx, sqd = nn1(p, dst, dst_mask)
+        idx, sqd = _nn1(p, dst, dst_mask)
         w = src_mask.astype(jnp.float32)
         dT = se3.best_fit_transform(p, dst[idx], w)
         T_new = dT @ T
@@ -49,7 +60,7 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
         cond, body, (T0, jnp.int32(0), jnp.bool_(False)))
 
     p = se3.transform_points(T, src[None])[0]
-    _, sqd = nn1(p, dst, dst_mask)
+    _, sqd = _nn1(p, dst, dst_mask)
     w = src_mask.astype(jnp.float32)
     fitness = (sqd * w).sum() / jnp.maximum(w.sum(), 1.0)
     return T, fitness

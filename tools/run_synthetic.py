@@ -24,7 +24,8 @@ def main():
     ap.add_argument("--scans", type=int, default=30)
     ap.add_argument("--traj", default="straight",
                     choices=["straight", "figure8"])
-    ap.add_argument("--preset", default="tiny", choices=["tiny", "os1-64"])
+    ap.add_argument("--preset", default="tiny",
+                    choices=["tiny", "os1-64", "vlp-16"])
     ap.add_argument("--platform", default=None)
     ap.add_argument("--step", type=float, default=0.4)
     ap.add_argument("--export", default=None,
@@ -39,11 +40,24 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from sc_lego_loam_tpu.config import tiny_test_config, synthetic_config
+    from sc_lego_loam_tpu.config import (tiny_test_config, synthetic_config,
+                                         vlp16_config, OdometryConfig)
     from sc_lego_loam_tpu.pipeline import SlamEngine
     from sc_lego_loam_tpu.utils import synthetic, evaluate
+    import dataclasses
 
-    cfg = tiny_test_config() if args.preset == "tiny" else synthetic_config()
+    if args.preset == "tiny":
+        cfg = tiny_test_config()
+    elif args.preset == "vlp-16":
+        # 16-beam sparse-lidar variant (BASELINE.json config 5), adapted
+        # for instantaneous synthetic clouds.
+        base = vlp16_config()
+        cfg = base.replace(
+            lidar=dataclasses.replace(base.lidar, ordered=True),
+            odom=OdometryConfig(deskew=False, min_surf_points=30,
+                                eig_threshold=2.0))
+    else:
+        cfg = synthetic_config()
 
     print(f"generating {args.scans}-scan synthetic sequence "
           f"({cfg.lidar.name}, {args.traj})...", flush=True)
