@@ -45,11 +45,15 @@ def main():
     # Warmup: trigger every compile path (incl. mapping + the loop-closure
     # detector, which first fires once check_every keyframes exist).
     for i in range(WARMUP):
-        engine.process_scan(scans[i], valids[i], t=i * 0.1)
+        pose = engine.process_scan(scans[i], valids[i], t=i * 0.1)
+    jax.block_until_ready(pose)   # drain the async dispatch queue
 
     t0 = time.time()
     for i in range(WARMUP, N_SCANS):
-        engine.process_scan(scans[i], valids[i], t=i * 0.1)
+        pose = engine.process_scan(scans[i], valids[i], t=i * 0.1)
+    # The engine is fully asynchronous (zero per-scan syncs); the clock
+    # must wait for the device to finish the last scan.
+    jax.block_until_ready(pose)
     wall = time.time() - t0
     fps = (N_SCANS - WARMUP) / wall
     print(engine.timer.table(skip_first=2), file=sys.stderr)

@@ -224,6 +224,10 @@ class CapacityConfig:
     """
 
     max_keyframes: int = 512
+    # Device-side fused-trajectory ring buffer (one (4,4) pose per scan;
+    # fetched once at the end of a run — never per scan, a host sync over
+    # the device tunnel costs ~25 ms).
+    max_scans: int = 16384
     # Per-scan feature pads (post extraction / downsample).
     sharp_pad: int = 1024                # <= 2*6*n_scan = 768 for 64 rings
     flat_pad: int = 2048                 # <= 4*6*64 = 1536
@@ -307,7 +311,7 @@ def tiny_test_config() -> PipelineConfig:
                             eig_threshold=0.3),
         mapping=MappingConfig(eig_threshold=1.0, min_correspondences=30),
         cap=CapacityConfig(
-            max_keyframes=64,
+            max_keyframes=64, max_scans=1024,
             sharp_pad=256, flat_pad=512, less_sharp_pad=1024,
             less_flat_pad=2048, outlier_pad=1024,
             kf_corner_pad=512, kf_surf_pad=2048, kf_outlier_pad=1024,

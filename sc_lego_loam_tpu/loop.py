@@ -20,8 +20,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from . import posegraph
 from .config import PipelineConfig
 from .mapping import KeyframeStore
+from .models import scan_context
 from .ops import icp, voxel
 from .utils import se3
 
@@ -117,3 +119,57 @@ def verify(config: PipelineConfig, kf: KeyframeStore,
     Z = se3.mat_inv(x_true) @ x_cand
     accept = fitness < config.loop.fitness_threshold
     return Z, fitness, accept
+
+
+def device_tick(config: PipelineConfig, kf: KeyframeStore,
+                bank, loops, cur_desc: jnp.ndarray):
+    """One full loop-closure tick, entirely on device (the reference's 1 Hz
+    loopClosureThread, mO.cpp:829-839, as pure compiled control flow —
+    detection, ICP verification, factor insertion, and the pose-graph
+    re-solve all live under lax.cond so a non-loop tick costs nothing and
+    the host never synchronizes).
+
+    Returns (kf, loops, closed: bool scalar) with kf.poses6 rewritten from
+    the pose-graph solution when a loop was accepted (correctPoses,
+    mO.cpp:1642-1664)."""
+    cur = jnp.maximum(kf.count - 1, 0)
+
+    # Scan Context path (mO.cpp:914-949,1053-1093); the SC yaw seeds the
+    # verification ICP so reverse loops close too.
+    sc_idx, sc_dist, sc_yaw = scan_context.detect(config, bank, cur_desc)
+
+    def sc_verify(loops):
+        idx = jnp.maximum(sc_idx, 0)
+        place = se3.pose6_to_mat(kf.poses6[idx])
+        Z, fit, ok = verify(config, kf, cur, idx, place, yaw_init=sc_yaw)
+        new = posegraph.add_loop(loops, cur, idx, Z)
+        loops = jax.tree.map(lambda a, b: jnp.where(ok, b, a), loops, new)
+        return loops, ok
+
+    loops, sc_ok = jax.lax.cond(
+        sc_idx >= 0, sc_verify, lambda l: (l, jnp.bool_(False)), loops)
+
+    # Radius-search path (mO.cpp:854-873,1005-1048).
+    rs_idx = detect_radius(config, kf, cur)
+
+    def rs_verify(loops):
+        idx = jnp.maximum(rs_idx, 0)
+        place = se3.pose6_to_mat(kf.poses6[cur])
+        Z, fit, ok = verify(config, kf, cur, idx, place)
+        new = posegraph.add_loop(loops, cur, idx, Z)
+        loops = jax.tree.map(lambda a, b: jnp.where(ok, b, a), loops, new)
+        return loops, ok
+
+    loops, rs_ok = jax.lax.cond(
+        (rs_idx >= 0) & (rs_idx != sc_idx),
+        rs_verify, lambda l: (l, jnp.bool_(False)), loops)
+
+    closed = sc_ok | rs_ok
+
+    def resolve(kf):
+        new_poses = posegraph.solve(config, kf.poses6, kf.count,
+                                    kf.odom_z, loops)
+        return kf._replace(poses6=new_poses)
+
+    kf = jax.lax.cond(closed, resolve, lambda k: k, kf)
+    return kf, loops, closed

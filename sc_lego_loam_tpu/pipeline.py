@@ -1,33 +1,39 @@
-"""The full SLAM engine: host-side orchestration of the jitted stages.
+"""The full SLAM engine: one compiled device step per scan, zero host syncs.
 
 The reference runs four OS processes wired by ROS topics with
-timestamp-matching gates (SURVEY.md par.1); here each stage is a pure jitted
-function and the "topic graph" is function composition inside one process
-per host.  The host loop only makes scheduling decisions (mapping cadence,
-keyframe/loop bookkeeping) — all math runs on device:
+timestamp-matching gates (SURVEY.md par.1).  Here the whole topic graph is
+ONE jitted function over device-resident state:
 
   raw scan -> frontend.run -> features -> odometry.step      (every scan)
-           -> scan-to-map + keyframe insert                  (>= 0.3 s apart,
-                                                              utility.h:109)
-           -> SC/RS loop detect + ICP verify + pose-graph    (every
-              re-solve + correctPoses                         check_every
-                                                              keyframes)
-           -> fused pose out                                  (every scan)
+           -> [cond] scan-to-map + keyframe insert            (>= 0.3 s apart,
+                                                               utility.h:109)
+           -> [cond] SC/RS loop detect + ICP verify +         (every
+              pose-graph re-solve + correctPoses               check_every
+                                                               keyframes)
+           -> fused pose -> device trajectory ring buffer     (every scan)
+
+Why this shape: on this runtime a host<->device synchronization costs
+~25 ms while an async dispatch costs <0.5 ms, so ANY per-scan host readback
+(a `bool()` keyframe decision, a `np.asarray(pose)` trajectory append)
+dominates the frame budget.  Every decision the reference makes on the CPU
+between its nodes (keyframe-or-not, loop-or-not, correctPoses) therefore
+runs under `lax.cond` on device; the host only chooses the mapping cadence
+(it knows the scan timestamps) and fetches the trajectory once at the end.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import frontend, fusion, loop, mapping, odometry, posegraph
+from . import frontend, loop, mapping, odometry, posegraph
 from .config import PipelineConfig
 from .models import scan_context
 from .ops import features as features_op
-from .ops import voxel
 from .utils import se3
 from .utils.profiling import StageTimer
 
@@ -71,145 +77,226 @@ def _build_submap(config: PipelineConfig, kf):
     return mapping.build_submap(config, kf)
 
 
+class EngineState(NamedTuple):
+    """Complete device-resident SLAM state (the analog of the combined
+    mutable state of the reference's four nodes)."""
+
+    odo: odometry.OdometryState
+    map: mapping.MapState
+    bank: scan_context.DescriptorBank
+    loops: posegraph.LoopFactors
+    # Cached world-frame submap (extractSurroundingKeyFrames analog,
+    # mO.cpp:1122-1231) — rebuilt on keyframe insert / pose correction.
+    sub_c: jnp.ndarray
+    sub_cm: jnp.ndarray
+    sub_s: jnp.ndarray
+    sub_sm: jnp.ndarray
+    # Fused-pose trajectory ring buffer (the /integrated_to_init stream).
+    traj: jnp.ndarray          # (max_scans, 4, 4)
+    traj_t: jnp.ndarray        # (max_scans,)
+    scan_i: jnp.ndarray        # () int32
+    kf_since_check: jnp.ndarray  # () int32 — loop-check cadence counter
+    last_kf_odom: jnp.ndarray  # (4,4) odometry pose at last keyframe
+    loops_closed: jnp.ndarray  # () int32 — total accepted loop factors
+
+
+def init_engine_state(config: PipelineConfig) -> EngineState:
+    cap = config.cap
+    kf0 = mapping.init_state(config)
+    sub = _build_submap(config, kf0.kf)
+    state = EngineState(
+        odo=odometry.init_state(config),
+        map=kf0,
+        bank=scan_context.init_bank(config),
+        loops=posegraph.init_loops(config),
+        sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3],
+        traj=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                              (cap.max_scans, 4, 4)).copy(),
+        traj_t=jnp.zeros((cap.max_scans,), jnp.float32),
+        scan_i=jnp.int32(0),
+        kf_since_check=jnp.int32(0),
+        last_kf_odom=jnp.eye(4, dtype=jnp.float32),
+        loops_closed=jnp.int32(0),
+    )
+    # engine_step donates the state; XLA rejects aliased buffers in a
+    # donated pytree (jnp constants like eye(4) are cached and shared), so
+    # give every leaf its own buffer.
+    return jax.tree.map(jnp.copy, state)
+
+
+def _mapping_tick(config: PipelineConfig, st: EngineState, points, mask,
+                  odom_pose, out_pts, out_mask, t) -> EngineState:
+    """Scan-to-map refinement + keyframe/loop logic (reference run(),
+    mO.cpp:1673-1708), all under device control flow."""
+    cfg = config
+
+    c, cm, s, sm, o, om = mapping.downsample_scan(
+        cfg, st.odo.corner_last.xyz, st.odo.corner_last.mask,
+        st.odo.surf_last.xyz, st.odo.surf_last.mask,
+        out_pts, out_mask)
+
+    T_guess = st.map.correction @ odom_pose
+    surf_q = jnp.concatenate([s, o])
+    surf_qm = jnp.concatenate([sm, om])
+    pose = mapping.scan_to_map(cfg, T_guess, c, cm, surf_q, surf_qm,
+                               st.sub_c, st.sub_cm, st.sub_s, st.sub_sm)
+    correction = pose @ se3.mat_inv(odom_pose)
+    st = st._replace(map=st.map._replace(pose=pose, correction=correction))
+
+    def insert(st: EngineState) -> EngineState:
+        kf = mapping.insert_keyframe(
+            cfg, st.map.kf, pose, t, c, cm, s, sm, o, om)
+        desc = scan_context.make_descriptor(points, mask, cfg.sc)
+        bank = scan_context.append(st.bank, desc, cfg.cap.max_keyframes)
+        sub = mapping.build_submap(cfg, kf)
+        return st._replace(
+            map=st.map._replace(kf=kf, last_kf_pose=pose),
+            bank=bank,
+            sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3],
+            kf_since_check=st.kf_since_check + 1,
+            last_kf_odom=odom_pose)
+
+    st = jax.lax.cond(
+        mapping.should_insert_keyframe(cfg, st.map, pose),
+        insert, lambda s: s, st)
+
+    if cfg.loop.enabled:
+        def loop_tick(st: EngineState) -> EngineState:
+            """1 Hz loop-closure thread analog (mO.cpp:829-839)."""
+            kf = st.map.kf
+            cur = jnp.maximum(kf.count - 1, 0)
+            kf, loops, closed = loop.device_tick(
+                cfg, kf, st.bank, st.loops, st.bank.desc[cur])
+
+            def apply_correction(st: EngineState) -> EngineState:
+                """correctPoses (mO.cpp:1642-1664): rewrite pose/correction
+                from the re-solved graph and rebuild the submap."""
+                new_pose = se3.pose6_to_mat(kf.poses6[cur])
+                corr = new_pose @ se3.mat_inv(st.last_kf_odom)
+                sub = mapping.build_submap(cfg, kf)
+                return st._replace(
+                    map=st.map._replace(pose=new_pose, correction=corr,
+                                        last_kf_pose=new_pose),
+                    sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3],
+                    loops_closed=st.loops_closed + 1)
+
+            st = st._replace(map=st.map._replace(kf=kf), loops=loops,
+                             kf_since_check=jnp.int32(0))
+            return jax.lax.cond(closed, apply_correction, lambda s: s, st)
+
+        st = jax.lax.cond(
+            st.kf_since_check >= cfg.loop.check_every_keyframes,
+            loop_tick, lambda s: s, st)
+    return st
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def engine_step(config: PipelineConfig, state: EngineState,
+                points, mask, t, do_mapping):
+    """One scan through the whole engine. Returns (state, fused_pose).
+
+    ``do_mapping`` (bool scalar) is the host-chosen mapping cadence — the
+    host knows the scan timestamps, so the >=0.3 s gate (utility.h:109)
+    stays host-side; everything else is device control flow."""
+    cfg = config
+    odo, odom_pose, _, out_pts, out_mask = _perception_step(
+        cfg, points, mask, state.odo)
+    state = state._replace(odo=odo)
+
+    state = jax.lax.cond(
+        do_mapping,
+        lambda st: _mapping_tick(cfg, st, points, mask, odom_pose,
+                                 out_pts, out_mask, t),
+        lambda st: st, state)
+
+    # High-rate fusion (transformFusion.cpp:94-179): one matrix multiply.
+    fused = state.map.correction @ odom_pose
+    i = jnp.minimum(state.scan_i, cfg.cap.max_scans - 1)
+    state = state._replace(
+        traj=state.traj.at[i].set(fused),
+        traj_t=state.traj_t.at[i].set(t),
+        scan_i=state.scan_i + 1)
+    return state, fused
+
+
 class SlamEngine:
-    """Single-sequence SLAM (BASELINE.json configs 1-3)."""
+    """Single-sequence SLAM (BASELINE.json configs 1-3).
+
+    Host-side responsibilities are scheduling-only: the mapping-cadence
+    gate and feeding scans.  `process_scan` performs no host sync — the
+    returned pose is a lazy device array; `trajectory_array()` fetches the
+    whole run with one sync."""
 
     def __init__(self, config: PipelineConfig):
         self.config = config
-        self.odo = odometry.init_state(config)
-        self.map = mapping.init_state(config)
-        self.bank = scan_context.init_bank(config)
-        self.loops = posegraph.init_loops(config)
+        self.state = init_engine_state(config)
         self.last_map_time = -1e9
-        self.last_kf_odom = jnp.eye(4, dtype=jnp.float32)
-        self.kf_since_check = 0
-        self.n_loops_closed = 0
-        self.trajectory = []       # host record: (t, fused pose np (4,4))
         self.timer = StageTimer()  # per-stage wall clock (SURVEY.md par.5)
-        # Submap cache: rebuilt only when the keyframe set (or its poses,
-        # after a loop closure) changes — the reference's incremental
-        # radius-search cache plays the same role (mO.cpp:1167-1222).
-        self._submap = None
-        self._submap_key = -1
+
+    # ------------------------------------------------------------------ #
+    # Device-state views (kept for the export/checkpoint API and tests).
+
+    @property
+    def odo(self):
+        return self.state.odo
+
+    @odo.setter
+    def odo(self, v):
+        self.state = self.state._replace(odo=jax.tree.map(jnp.copy, v))
+
+    @property
+    def map(self):
+        return self.state.map
+
+    @map.setter
+    def map(self, v):
+        self.state = self.state._replace(map=jax.tree.map(jnp.copy, v))
+        sub = _build_submap(self.config, v.kf)
+        self.state = self.state._replace(
+            sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3])
+
+    @property
+    def bank(self):
+        return self.state.bank
+
+    @bank.setter
+    def bank(self, v):
+        self.state = self.state._replace(bank=jax.tree.map(jnp.copy, v))
+
+    @property
+    def loops(self):
+        return self.state.loops
+
+    @loops.setter
+    def loops(self, v):
+        self.state = self.state._replace(loops=jax.tree.map(jnp.copy, v))
 
     # ------------------------------------------------------------------ #
 
     def process_scan(self, points, mask, t: float):
-        """Feed one scan (padded (N,3) + mask). Returns fused pose (4,4)."""
+        """Feed one scan (padded (N,3) + mask). Returns the fused pose as a
+        lazy device array (no sync)."""
         cfg = self.config
         points = jnp.asarray(points, jnp.float32)
         mask = jnp.asarray(mask, bool)
 
-        with self.timer.stage("perception"):
-            self.odo, odom_pose, _, out_pts, out_mask = _perception_step(
-                cfg, points, mask, self.odo)
-            jax.block_until_ready(odom_pose)
-
-        if t - self.last_map_time >= cfg.mapping.process_interval:
-            with self.timer.stage("mapping"):
-                self._mapping_tick(points, mask, odom_pose, out_pts,
-                                   out_mask, t)
+        do_mapping = t - self.last_map_time >= cfg.mapping.process_interval
+        if do_mapping:
             self.last_map_time = t
 
-        fused = fusion.fuse(self.map.correction, odom_pose)
-        self.trajectory.append((t, np.asarray(fused)))
+        with self.timer.stage("step"):
+            self.state, fused = engine_step(
+                cfg, self.state, points, mask, jnp.float32(t),
+                jnp.bool_(do_mapping))
         return fused
 
     # ------------------------------------------------------------------ #
 
-    def _mapping_tick(self, points, mask, odom_pose, out_pts, out_mask, t):
-        cfg = self.config
-        st = self.map
-
-        c, cm, s, sm, o, om = mapping.downsample_scan(
-            cfg, self.odo.corner_last.xyz, self.odo.corner_last.mask,
-            self.odo.surf_last.xyz, self.odo.surf_last.mask,
-            out_pts, out_mask)
-
-        T_guess = st.correction @ odom_pose
-        key = int(st.kf.count) + (self.n_loops_closed << 32)
-        if self._submap is None or self._submap_key != key:
-            self._submap = _build_submap(cfg, st.kf)
-            self._submap_key = key
-        sub_c, sub_cm, sub_s, sub_sm = self._submap
-        surf_q = jnp.concatenate([s, o])
-        surf_qm = jnp.concatenate([sm, om])
-        pose = mapping.scan_to_map(cfg, T_guess, c, cm, surf_q, surf_qm,
-                                   sub_c, sub_cm, sub_s, sub_sm)
-        correction = pose @ se3.mat_inv(odom_pose)
-        self.map = st._replace(pose=pose, correction=correction)
-
-        if bool(mapping.should_insert_keyframe(cfg, self.map, pose)):
-            kf = mapping.insert_keyframe(
-                cfg, self.map.kf, pose, jnp.float32(t),
-                c, cm, s, sm, o, om)
-            desc = _sc_input(cfg, points, mask)
-            self.bank = scan_context.append(self.bank, desc,
-                                            cfg.cap.max_keyframes)
-            self.map = self.map._replace(kf=kf, last_kf_pose=pose)
-            self.last_kf_odom = odom_pose
-            self.kf_since_check += 1
-
-            if (cfg.loop.enabled and
-                    self.kf_since_check >= cfg.loop.check_every_keyframes):
-                self.kf_since_check = 0
-                self._loop_closure_tick(desc)
-
-    # ------------------------------------------------------------------ #
-
-    def _loop_closure_tick(self, cur_desc):
-        """1 Hz loop-closure thread analog (mO.cpp:829-839)."""
-        cfg = self.config
-        kf = self.map.kf
-        cur_idx = int(kf.count) - 1
-
-        closed = False
-        # Scan Context path (mO.cpp:914-949,1053-1093); the SC yaw seeds
-        # the verification ICP so reverse loops close too.
-        sc_idx, sc_dist, sc_yaw = scan_context.detect(cfg, self.bank,
-                                                      cur_desc)
-        sc_idx = int(sc_idx)
-        if sc_idx >= 0:
-            place = se3.pose6_to_mat(kf.poses6[sc_idx])
-            Z, fit, ok = loop.verify(cfg, kf, jnp.int32(cur_idx),
-                                     jnp.int32(sc_idx), place,
-                                     yaw_init=sc_yaw)
-            if bool(ok):
-                self.loops = posegraph.add_loop(
-                    self.loops, jnp.int32(cur_idx), jnp.int32(sc_idx), Z)
-                closed = True
-
-        # Radius-search path (mO.cpp:854-873,1005-1048).
-        rs_idx = int(loop.detect_radius(cfg, kf, jnp.int32(cur_idx)))
-        if rs_idx >= 0 and rs_idx != sc_idx:
-            place = se3.pose6_to_mat(kf.poses6[cur_idx])
-            Z, fit, ok = loop.verify(cfg, kf, jnp.int32(cur_idx),
-                                     jnp.int32(rs_idx), place)
-            if bool(ok):
-                self.loops = posegraph.add_loop(
-                    self.loops, jnp.int32(cur_idx), jnp.int32(rs_idx), Z)
-                closed = True
-
-        if closed:
-            self._correct_poses()
-
-    def _correct_poses(self):
-        """Pose-graph re-solve + correctPoses (mO.cpp:1642-1664)."""
-        cfg = self.config
-        kf = self.map.kf
-        new_poses = posegraph.solve(cfg, kf.poses6, kf.count, kf.odom_z,
-                                    self.loops)
-        kf = kf._replace(poses6=new_poses)
-        last = jnp.maximum(kf.count - 1, 0)
-        new_pose = se3.pose6_to_mat(kf.poses6[last])
-        correction = new_pose @ se3.mat_inv(self.last_kf_odom)
-        self.map = self.map._replace(
-            kf=kf, pose=new_pose, correction=correction,
-            last_kf_pose=new_pose)
-        self.n_loops_closed += 1
-
-    # ------------------------------------------------------------------ #
-
     def trajectory_array(self):
-        """(N,4,4) fused trajectory so far."""
-        return np.stack([p for _, p in self.trajectory])
+        """(N,4,4) fused trajectory so far (one device sync)."""
+        n = int(self.state.scan_i)
+        return np.asarray(self.state.traj[:n])
+
+    def trajectory_times(self):
+        n = int(self.state.scan_i)
+        return np.asarray(self.state.traj_t[:n])
