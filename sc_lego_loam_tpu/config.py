@@ -127,8 +127,28 @@ class OdometryConfig:
     # True for real spinning-lidar data (points are time-distorted); False
     # for instantaneous clouds (synthetic snapshots), where s == 1.
     deskew: bool = True
+    # Joint 6-DOF solve over corner+surf residuals together instead of the
+    # reference's two-stage 3-DOF split (fA.cpp:1270-1478).  The split is a
+    # CPU-era economy (two 3x3 solves instead of one 6x6) that relies on
+    # small per-scan motion; the joint solve lets ground planes constrain
+    # roll/pitch/z WHILE corners constrain yaw/x/y, which converges under
+    # much larger per-scan rotation (fast-turn robustness).
+    joint_6dof: bool = True
+    # Query with the DENSE feature sets (less_sharp / less_flat) instead of
+    # the reference's sparse picks (2 sharp + 4 flat per section,
+    # fA.cpp:702-769).  The reference restricts queries to bound kd-tree
+    # lookups on a CPU; batched MXU brute-force NN makes the dense query
+    # set ~free, and ~10x more correspondences make spurious minima of the
+    # re-associated robust cost far less likely (identifiability).
+    dense_queries: bool = True
+    # Minimum valid correspondences (corner+surf) for the joint solve to
+    # trust its result over the constant-velocity prior.
+    min_total_corres: int = 20
     max_iterations: int = 25             # fA.cpp:1671,1684
-    research_every: int = 5              # fA.cpp:1052,1163 (kd re-search cadence)
+    research_every: int = 1              # fA.cpp re-searches every 5th
+    # (fA.cpp:1052,1163) to amortize kd-tree cost; batched MXU NN is cheap
+    # enough to re-search every accepted step, which is what convergence
+    # under large motion needs.
     nearest_sq_dist: float = 25.0        # utility.h:129 nearestFeatureSearchSqDist
     near_ring_span: float = 2.5          # fA.cpp:1082,1190 (ring window)
     robust_after_iter: int = 5           # fA.cpp:1137,1251
@@ -140,6 +160,15 @@ class OdometryConfig:
     min_feature_points: int = 10         # fA.cpp:1668 (sharp corners)
     min_surf_points: int = 100           # fA.cpp:1677 (flat surfs)
     lm_step_scale: float = 0.05          # fA.cpp:1322 (B = -0.05 * d)
+    # Per-iteration trust region.  The reference's 0.05-scaled GN steps
+    # (fA.cpp:1322) creep and cannot jump basins; a full Newton step along
+    # a weakly-constrained direction (translation eigenvalues are ~1e3x
+    # smaller than rotation ones) can teleport meters in one iteration,
+    # where per-iteration re-association + the hard robust cutoff then
+    # lock in a spurious minimum.  Clamping the step keeps full-Newton
+    # convergence speed near the optimum while bounding basin jumps.
+    max_step_rot: float = 0.1            # rad per accepted iteration
+    max_step_trans: float = 0.5          # m per accepted iteration
 
 
 @dataclass(frozen=True)

@@ -174,6 +174,7 @@ def _stage_loop(xi0, param_idx, research_fn, resid_fn, corres0, ocfg):
         delta3 = jnp.where(degen, Pm @ delta3, delta3)
         delta3 = jnp.where(jnp.isfinite(delta3), delta3, 0.0)
         delta6 = jnp.zeros((6,), xi.dtype).at[idx].set(delta3)
+        delta6 = _clamp_step(delta6, ocfg)
         xi_new = xi + delta6
 
         cost_old = (w * r * r).sum()
@@ -197,6 +198,86 @@ def _stage_loop(xi0, param_idx, research_fn, resid_fn, corres0, ocfg):
     return xi
 
 
+def _clamp_step(delta, ocfg):
+    """Trust-region clamp: scale the 6-twist step so rotation and translation
+    magnitudes stay within per-iteration bounds (see OdometryConfig)."""
+    wn = jnp.linalg.norm(delta[:3])
+    vn = jnp.linalg.norm(delta[3:])
+    s = jnp.minimum(1.0, jnp.minimum(
+        ocfg.max_step_rot / jnp.maximum(wn, 1e-12),
+        ocfg.max_step_trans / jnp.maximum(vn, 1e-12)))
+    return delta * s
+
+
+def _joint_loop(xi0, corner_research, corner_resid, surf_research,
+                surf_resid, ocfg):
+    """Joint 6-DOF LM over corner (point-to-line) + surf (point-to-plane)
+    residuals together.  Unlike the reference's two-stage 3-DOF split
+    (fA.cpp:1270-1478) this keeps all six DOF coupled, so a large yaw error
+    cannot poison the roll/pitch/z solve through bad correspondences: the
+    corners pull yaw in the *same* iterations that the planes pin z."""
+
+    def research(xi):
+        return corner_research(xi), surf_research(xi)
+
+    def body(state):
+        xi, corres, it, _, Pm, degen, lam = state
+        corres = jax.lax.cond(
+            it % ocfg.research_every == 0,
+            lambda: research(xi), lambda: corres)
+        cc, sc = corres
+
+        def r_of(x):
+            rc, _ = corner_resid(x, cc)
+            rs, _ = surf_resid(x, sc)
+            return jnp.concatenate([rc, rs])
+
+        r = r_of(xi)
+        J = jax.jacfwd(r_of)(xi)                   # (N,6)
+        _, cval = corner_resid(xi, cc)
+        _, sval = surf_resid(xi, sc)
+        valid = jnp.concatenate([cval, sval])
+        w = solver.robust_weight(jnp.abs(r), ocfg.robust_slope,
+                                 ocfg.robust_min_weight,
+                                 it >= ocfg.robust_after_iter)
+        w = w * valid.astype(r.dtype)
+        Jw = J * w[:, None]
+        H = Jw.T @ J
+        g = Jw.T @ r
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=xi.dtype)
+        delta = -jnp.linalg.solve(Hd, g)
+        Pm_new, degen_new = solver.degeneracy_projector(H, ocfg.eig_threshold)
+        Pm = jnp.where(it == 0, Pm_new, Pm)
+        degen = jnp.where(it == 0, degen_new, degen)
+        delta = jnp.where(degen, Pm @ delta, delta)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        delta = _clamp_step(delta, ocfg)
+        xi_new = xi + delta
+
+        cost_old = (w * r * r).sum()
+        r_new = r_of(xi_new)
+        cost_new = (w * r_new * r_new).sum()
+        accept = (cost_new < cost_old) & jnp.isfinite(cost_new)
+        xi = jnp.where(accept, xi_new, xi)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-5, 1e4)
+        done = accept & solver.converged(delta[:3], delta[3:],
+                                         ocfg.delta_rot_deg,
+                                         ocfg.delta_trans_cm)
+        return xi, corres, it + 1, done, Pm, degen, lam
+
+    def cond(state):
+        return (~state[3]) & (state[2] < ocfg.max_iterations)
+
+    state0 = (xi0, research(xi0), jnp.int32(0), jnp.bool_(False),
+              jnp.eye(6, dtype=xi0.dtype), jnp.bool_(False),
+              jnp.float32(1e-3))
+    xi, corres, *_ = jax.lax.while_loop(cond, body, state0)
+    # Valid-correspondence count at the solution (gates trust in the result).
+    _, cval = corner_resid(xi, corres[0])
+    _, sval = surf_resid(xi, corres[1])
+    return xi, cval.sum() + sval.sum()
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
     """One odometry tick. Returns (new_state, world_pose (4,4), rel twist)."""
@@ -211,16 +292,16 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
 
     def do_track():
         xi0 = state.motion                       # constant-velocity prior
-        sharp, flat = feats.sharp, feats.flat
+        if ocfg.joint_6dof and ocfg.dense_queries:
+            sharp, flat = feats.less_sharp, feats.less_flat
+        else:
+            sharp, flat = feats.sharp, feats.flat
         if not ocfg.deskew:
             # Instantaneous clouds: every point is at scan end (s = 1), so
             # exp(s*xi) reduces to the full relative transform.
             sharp = sharp._replace(rel_time=jnp.ones_like(sharp.rel_time))
             flat = flat._replace(rel_time=jnp.ones_like(flat.rel_time))
         corner_t, surf_t = state.corner_last, state.surf_last
-
-        enough = (sharp.mask.sum() >= ocfg.min_feature_points) & \
-                 (flat.mask.sum() >= ocfg.min_surf_points)
 
         dk = ocfg.deskew
 
@@ -236,10 +317,6 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
                                dk)
             return r, valid
 
-        xi1 = _stage_loop(xi0, (0, 1, 5), surf_research, surf_resid,
-                          surf_research(xi0), ocfg)
-
-        # Stage 2: corner features -> [yaw, tx, ty] = twist idx [2,3,4].
         def corner_research(xi):
             q = _deskew(xi, sharp.xyz, sharp.rel_time, dk)
             return _find_corner(q, sharp.mask, corner_t, ocfg)
@@ -250,8 +327,20 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
                                  corner_t.xyz[j], corner_t.xyz[l2], dk)
             return r, valid
 
-        xi2 = _stage_loop(xi1, (2, 3, 4), corner_research, corner_resid,
-                          corner_research(xi1), ocfg)
+        if ocfg.joint_6dof:
+            xi2, n_corres = _joint_loop(xi0, corner_research, corner_resid,
+                                        surf_research, surf_resid, ocfg)
+            enough = n_corres >= ocfg.min_total_corres
+        else:
+            # Reference two-stage split: surf -> [roll, pitch, tz], then
+            # corner -> [yaw, tx, ty] (fA.cpp:1270-1478).
+            enough = (sharp.mask.sum() >= ocfg.min_feature_points) & \
+                     (flat.mask.sum() >= ocfg.min_surf_points)
+            xi1 = _stage_loop(xi0, (0, 1, 5), surf_research, surf_resid,
+                              surf_research(xi0), ocfg)
+            # Stage 2: corner features -> [yaw, tx, ty] = twist idx [2,3,4].
+            xi2 = _stage_loop(xi1, (2, 3, 4), corner_research, corner_resid,
+                              corner_research(xi1), ocfg)
 
         xi = jnp.where(enough, xi2, xi0)
         xi = jnp.where(jnp.isfinite(xi), xi, 0.0)

@@ -39,15 +39,31 @@ class FeatureSet(NamedTuple):
     less_flat: FeatureCloud    # everything label<=0, voxel-DS 0.2
 
 
-def curvature(cloud: SegmentedCloud, feat: FeatureConfig):
+def curvature(cloud: SegmentedCloud, feat: FeatureConfig, neighbor_mask=None):
     """c[i] = (sum_{1<=|l|<=5} r[i+l] - 10 r[i])^2 over compacted ring order
-    (featureAssociation.cpp:621-641). Returns (curv, curv_valid)."""
+    (featureAssociation.cpp:621-641). Returns (curv, curv_valid).
+
+    ``neighbor_mask`` (H,W bool, optional): neighbors outside the mask
+    contribute zero range difference.  Used for the ground/flat test: the
+    compacted order interleaves every-5th ground points with cluster points,
+    so an unmasked window crossing a ground<->cluster boundary sees a
+    multi-meter range jump and poisons the curvature of *every* ground point
+    within +-k of a boundary (on short ground runs that is all of them).
+    Masking restricts the planarity test to ground-vs-ground differences,
+    which matches the reference's long-contiguous-ground behavior."""
     r = cloud.rng
     H, W = r.shape
     k = feat.curvature_halfwidth
-    acc = -2.0 * k * r
-    for l in range(1, k + 1):
-        acc = acc + jnp.roll(r, l, 1) + jnp.roll(r, -l, 1)
+    if neighbor_mask is None:
+        acc = -2.0 * k * r
+        for l in range(1, k + 1):
+            acc = acc + jnp.roll(r, l, 1) + jnp.roll(r, -l, 1)
+    else:
+        acc = jnp.zeros_like(r)
+        for l in range(1, k + 1):
+            for sh in (l, -l):
+                nb_ok = jnp.roll(neighbor_mask, sh, 1)
+                acc = acc + jnp.where(nb_ok, jnp.roll(r, sh, 1) - r, 0.0)
     curv = acc * acc
     pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ok = (pos >= k) & (pos <= cloud.count[:, None] - 1 - k) & cloud.valid
@@ -131,7 +147,8 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     H, W = cloud.rng.shape
     S = feat.sections
     curv, curv_ok = curvature(cloud, feat)
-    picked = occlusion_mask(cloud, feat)
+    occl = occlusion_mask(cloud, feat)
+    picked = occl
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     n = jnp.maximum(cloud.count, 1)[:, None]
@@ -160,10 +177,20 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     label, picked = jax.lax.fori_loop(
         0, feat.edge_less_per_section, edge_iter, (label, picked))
 
+    # Ground planarity judged against ground neighbors only (see curvature).
+    gcurv, _ = curvature(cloud, feat, neighbor_mask=cloud.ground & cloud.valid)
+    # Ground is exempt from the occlusion/parallel-beam pre-mask: ground is
+    # the lowest surface, so an apparent range discontinuity at a ground
+    # pixel is an artifact of the every-5th-ground compaction interleaving
+    # (fA.cpp marks +-5 compacted neighbors around any jump, which on short
+    # ground runs pre-picks ALL of them).  Pick-suppression marks from the
+    # edge phase still apply.
+    picked = picked & ~(occl & cloud.ground)
+
     def surf_iter(k, state):
         label, picked = state
-        cand = curv_ok & ~picked & (curv < feat.surf_threshold) & cloud.ground
-        score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], BIG)
+        cand = curv_ok & ~picked & (gcurv < feat.surf_threshold) & cloud.ground
+        score = jnp.where(cand[:, None, :] & sec_onehot, gcurv[:, None, :], BIG)
         idx = jnp.argmin(score, -1).astype(jnp.int32)
         val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
         has = val < BIG * 0.5
