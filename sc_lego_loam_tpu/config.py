@@ -141,6 +141,13 @@ class OdometryConfig:
     # set ~free, and ~10x more correspondences make spurious minima of the
     # re-associated robust cost far less likely (identifiability).
     dense_queries: bool = True
+    # Static caps on the dense query sets (strided subsample of the padded
+    # banks).  ~2k queries already give ~100x the reference's constraint
+    # count; capping keeps the (Q x T) NN distance matrices inside the
+    # odometry while_loop small enough for fast XLA compiles and modest
+    # VMEM/HBM traffic.
+    query_corner_cap: int = 2048
+    query_surf_cap: int = 2048
     # Minimum valid correspondences (corner+surf) for the joint solve to
     # trust its result over the constant-velocity prior.
     min_total_corres: int = 20
@@ -242,6 +249,11 @@ class PoseGraphConfig:
     odom_var: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
     max_gn_iterations: int = 20
     damping: float = 1e-6
+    # Loop-factor bank capacity.  The Woodbury capacitance solve in
+    # posegraph.solve is (6L)^2, so this bounds the per-resolve cost; the
+    # reference accumulates one factor per 1 Hz tick while revisiting
+    # (mO.cpp:997), so hundreds over a long run.
+    max_loops: int = 128
 
 
 @dataclass(frozen=True)
@@ -252,7 +264,11 @@ class CapacityConfig:
     bank is preallocated with a high-water mask so shapes stay jit-static.
     """
 
-    max_keyframes: int = 512
+    # Keyframe bank capacity.  4096 keyframes at the 0.3 m rule covers a
+    # ~1.2+ km trajectory (MulRan DCC scale); the reference grows
+    # std::vectors unboundedly (mO.cpp:88-90).  Bank memory ~765 MB at
+    # full-size pads; the pose-graph solve is O(K log K) (posegraph.solve).
+    max_keyframes: int = 4096
     # Device-side fused-trajectory ring buffer (one (4,4) pose per scan;
     # fetched once at the end of a run — never per scan, a host sync over
     # the device tunnel costs ~25 ms).
@@ -339,6 +355,9 @@ def tiny_test_config() -> PipelineConfig:
         odom=OdometryConfig(deskew=False, min_surf_points=8,
                             eig_threshold=0.3),
         mapping=MappingConfig(eig_threshold=1.0, min_correspondences=30),
+        # Small loop bank: the Woodbury capacitance is (6L)^2 and CPU test
+        # time scales with it.
+        posegraph=PoseGraphConfig(max_loops=16),
         cap=CapacityConfig(
             max_keyframes=64, max_scans=1024,
             sharp_pad=256, flat_pad=512, less_sharp_pad=1024,

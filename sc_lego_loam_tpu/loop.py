@@ -33,8 +33,12 @@ _BIG = jnp.float32(1e18)
 @functools.partial(jax.jit, static_argnums=0)
 def detect_radius(config: PipelineConfig, kf: KeyframeStore,
                   cur_idx: jnp.ndarray):
-    """Oldest keyframe within rs_search_radius and >= rs_time_gap older.
-    Returns index or -1."""
+    """Nearest keyframe within rs_search_radius and >= rs_time_gap older.
+    Returns index or -1.
+
+    The reference's radius search returns candidates distance-sorted and
+    takes the first one meeting the time gap, i.e. the NEAREST
+    (mapOptmization.cpp:854-873) — handing ICP the easiest candidate."""
     lcfg = config.loop
     cur_pos = kf.poses6[cur_idx, 3:6]
     cur_time = kf.times[cur_idx]
@@ -43,9 +47,8 @@ def detect_radius(config: PipelineConfig, kf: KeyframeStore,
     d = jnp.linalg.norm(kf.poses6[:, 3:6] - cur_pos, axis=-1)
     ok = (ids < kf.count) & (d < lcfg.rs_search_radius) & \
          (cur_time - kf.times >= lcfg.rs_time_gap)
-    cand = jnp.where(ok, ids, K + 1)
-    best = jnp.min(cand)
-    return jnp.where(best <= K, best, -1)
+    best = jnp.argmin(jnp.where(ok, d, jnp.inf))
+    return jnp.where(ok[best], best, -1)
 
 
 @functools.partial(jax.jit, static_argnums=0)

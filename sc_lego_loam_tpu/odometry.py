@@ -293,7 +293,15 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
     def do_track():
         xi0 = state.motion                       # constant-velocity prior
         if ocfg.joint_6dof and ocfg.dense_queries:
-            sharp, flat = feats.less_sharp, feats.less_flat
+            def subsample(fc: FeatureCloud, cap: int) -> FeatureCloud:
+                # Strided static-shape subsample of the padded bank (entries
+                # are hash-scattered, so a stride is an unbiased sample).
+                n = fc.xyz.shape[0]
+                k = max(1, n // cap)
+                return jax.tree.map(lambda a: a[::k][:cap], fc)
+
+            sharp = subsample(feats.less_sharp, ocfg.query_corner_cap)
+            flat = subsample(feats.less_flat, ocfg.query_surf_cap)
         else:
             sharp, flat = feats.sharp, feats.flat
         if not ocfg.deskew:

@@ -232,6 +232,8 @@ class SlamEngine:
         self.state = init_engine_state(config)
         self.last_map_time = -1e9
         self.timer = StageTimer()  # per-stage wall clock (SURVEY.md par.5)
+        self._scans_fed = 0
+        self._warned_kf_cap = False
 
     # ------------------------------------------------------------------ #
     # Device-state views (kept for the export/checkpoint API and tests).
@@ -280,6 +282,14 @@ class SlamEngine:
         points = jnp.asarray(points, jnp.float32)
         mask = jnp.asarray(mask, bool)
 
+        self._scans_fed += 1
+        if self._scans_fed == cfg.cap.max_scans + 1:
+            import warnings
+            warnings.warn(
+                f"trajectory ring buffer full ({cfg.cap.max_scans} scans): "
+                "later poses overwrite the last slot; raise "
+                "CapacityConfig.max_scans", RuntimeWarning)
+
         do_mapping = t - self.last_map_time >= cfg.mapping.process_interval
         if do_mapping:
             self.last_map_time = t
@@ -295,6 +305,14 @@ class SlamEngine:
     def trajectory_array(self):
         """(N,4,4) fused trajectory so far (one device sync)."""
         n = int(self.state.scan_i)
+        if not self._warned_kf_cap and \
+                int(self.state.map.kf.count) >= self.config.cap.max_keyframes:
+            import warnings
+            warnings.warn(
+                f"keyframe bank full ({self.config.cap.max_keyframes}): new "
+                "keyframes overwrite the last slot; raise "
+                "CapacityConfig.max_keyframes", RuntimeWarning)
+            self._warned_kf_cap = True
         return np.asarray(self.state.traj[:n])
 
     def trajectory_times(self):

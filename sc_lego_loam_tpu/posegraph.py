@@ -37,8 +37,10 @@ class LoopFactors(NamedTuple):
     count: jnp.ndarray    # () int32
 
 
-def init_loops(config: PipelineConfig, max_loops: int = 128) -> LoopFactors:
-    del config
+def init_loops(config: PipelineConfig, max_loops: int | None = None
+               ) -> LoopFactors:
+    if max_loops is None:
+        max_loops = config.posegraph.max_loops
     return LoopFactors(
         i=jnp.zeros((max_loops,), jnp.int32),
         j=jnp.zeros((max_loops,), jnp.int32),
@@ -74,6 +76,25 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     odom_z: (K,4,4) — odom_z[k] = measured X_{k-1}^-1 X_k for k >= 1;
     odom_z[0] holds the prior pose of node 0.
     Returns optimized poses6 (K,6).
+
+    Scalability & conditioning: each GN step is solved in RELATIVE (edge)
+    coordinates.  With w_0 = Jp u_0 and w_k = Ji_k u_{k-1} + Jj_k u_k (the
+    linearized odometry-factor increments), the chain part of the normal
+    equations becomes exactly DIAGONAL — Lambda = diag(per-dim factor
+    weights) — and loop factors stay a rank-6L correction handled by the
+    Woodbury identity with a small (6L x 6L) capacitance solve.  The
+    node<->edge map u_k = Phi_k sum_{m<=k} Phi_m^{-1} Jtil_m w_m uses one
+    associative scan of 6x6 adjoint-like blocks (log K depth).
+
+    Why this formulation: the reference's odometry variances (1e-6/1e-8,
+    mO.cpp:368-371) give the node-space Hessian a ~1e8 condition number —
+    gtsam factorizes it in f64 on the CPU; no f32 factorization (dense,
+    block-Thomas, or cyclic reduction, all measured) survives it.  In edge
+    coordinates the stiffness is inverted ANALYTICALLY per element, so f32
+    is exact where it matters; the remaining dense solve (capacitance) is
+    I + O(small) and well-conditioned.  Work is O(K (6L)^2) per iteration
+    with K-way parallelism and never materializes a (6K)^2 matrix — K=4096
+    solves fit real-time budgets where the dense Hessian alone is 2.4 GB.
     """
     pg = config.posegraph
     K = poses6.shape[0]
@@ -85,73 +106,92 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     w_loop = 1.0 / jnp.sqrt(jnp.float32(config.loop.loop_noise_var))
     c2 = jnp.float32(config.loop.cauchy_k) ** 2
 
-    # Factor table: K-1 odometry betweens then L loop betweens.
-    fi = jnp.concatenate([jnp.arange(K - 1), loops.i])
-    fj = jnp.concatenate([jnp.arange(1, K), loops.j])
-    Z = jnp.concatenate([odom_z[1:], loops.z])
-    sqrtw = jnp.concatenate([
-        jnp.broadcast_to(w_odom, (K - 1, 6)),
-        jnp.broadcast_to(w_loop, (L, 6)),
-    ])
-    odom_ok = node_ok[1:]                      # factor k-1 valid iff node k is
-    loop_ok = jnp.arange(L) < loops.count
-    f_ok = jnp.concatenate([odom_ok, loop_ok]).astype(jnp.float32)
-    is_loop = jnp.concatenate(
-        [jnp.zeros((K - 1,), bool), jnp.ones((L,), bool)])
+    odom_ok = node_ok[1:].astype(jnp.float32)  # factor k-1 valid iff node k is
+    loop_ok = (jnp.arange(L) < loops.count).astype(jnp.float32)
+    li = jnp.clip(loops.i, 0, K - 1)
+    lj = jnp.clip(loops.j, 0, K - 1)
 
     zero12 = jnp.zeros((12,), jnp.float32)
     zero6 = jnp.zeros((6,), jnp.float32)
     r_fn = jax.vmap(_factor_residual, in_axes=(None, 0, 0, 0))
     J_fn = jax.vmap(jax.jacfwd(_factor_residual), in_axes=(None, 0, 0, 0))
+    eyeL = jnp.eye(6 * L, dtype=jnp.float32)
 
-    def gn_iter(it, carry):
-        X, _ = carry
-        Xi, Xj = X[fi], X[fj]
-        r = r_fn(zero12, Xi, Xj, Z)                      # (F,6)
-        J = J_fn(zero12, Xi, Xj, Z)                      # (F,6,12)
-        rw = r * sqrtw
-        e2 = (rw * rw).sum(-1)
-        w_c = jnp.where(is_loop, jnp.sqrt(c2 / (c2 + e2)), 1.0) * f_ok
-        sw = sqrtw * w_c[:, None]                        # (F,6) row scaling
-        rws = r * sw
-        Jws = J * sw[:, :, None]
-        Ji, Jj = Jws[:, :, :6], Jws[:, :, 6:]
+    def gn_iter(carry):
+        X, it, _ = carry
 
-        Hii = jnp.einsum("fri,frj->fij", Ji, Ji)
-        Hjj = jnp.einsum("fri,frj->fij", Jj, Jj)
-        Hij = jnp.einsum("fri,frj->fij", Ji, Jj)
-        gi = jnp.einsum("fri,fr->fi", Ji, rws)
-        gj = jnp.einsum("fri,fr->fi", Jj, rws)
+        # ---- linearize: odometry chain (factor f couples nodes f, f+1) --
+        r = r_fn(zero12, X[:-1], X[1:], odom_z[1:])      # (K-1,6)
+        J = J_fn(zero12, X[:-1], X[1:], odom_z[1:])      # (K-1,6,12)
+        Ji, Jj = J[:, :, :6], J[:, :, 6:]                # unweighted
 
-        H = jnp.zeros((K, 6, K, 6), jnp.float32)
-        H = H.at[fi, :, fi, :].add(Hii)
-        H = H.at[fj, :, fj, :].add(Hjj)
-        H = H.at[fi, :, fj, :].add(Hij)
-        H = H.at[fj, :, fi, :].add(jnp.swapaxes(Hij, -1, -2))
-        g = jnp.zeros((K, 6), jnp.float32)
-        g = g.at[fi].add(gi)
-        g = g.at[fj].add(gj)
-
-        # Prior on node 0 (anchors the gauge).
-        rp = se3.se3_log(se3.mat_inv(odom_z[0]) @ X[0]) * w_prior
+        # Prior on node 0 (anchors the gauge, mO.cpp:1544-1551).
+        rp = se3.se3_log(se3.mat_inv(odom_z[0]) @ X[0])
         Jp = jax.jacfwd(
             lambda d: se3.se3_log(
-                se3.mat_inv(odom_z[0]) @ se3.se3_exp(d) @ X[0]) * w_prior
-        )(zero6)
-        H = H.at[0, :, 0, :].add(Jp.T @ Jp)
-        g = g.at[0].add(Jp.T @ rp)
+                se3.mat_inv(odom_z[0]) @ se3.se3_exp(d) @ X[0]))(zero6)
 
-        freeze = jnp.repeat(~node_ok, 6).astype(jnp.float32)
-        Hd = H.reshape(K * 6, K * 6) + jnp.diag(
-            freeze * 1e3 + pg.damping)
-        upd = -jnp.linalg.solve(Hd, g.reshape(-1)).reshape(K, 6)
+        # ---- edge coordinates: w_0 = Jp u_0, w_k = Ji_k u_{k-1} + Jj_k u_k
+        # u_k = Phi_k sum_{m<=k} Psi_m w_m with Phi the prefix product of
+        # A_k = -Jj_k^{-1} Ji_k and Psi_m = Phi_m^{-1} Jtil_m.
+        Jj_inv = jnp.linalg.inv(Jj)                      # (K-1,6,6)
+        A = jnp.concatenate([
+            jnp.eye(6, dtype=jnp.float32)[None],
+            -(Jj_inv @ Ji)], 0)                          # (K,6,6)
+        Jtil = jnp.concatenate([jnp.linalg.inv(Jp)[None], Jj_inv], 0)
+        Phi = jax.lax.associative_scan(
+            lambda a, b: jnp.einsum("...ij,...jk->...ik", b, a), A)
+        Psi = jnp.linalg.inv(Phi) @ Jtil                 # (K,6,6)
+
+        # Diagonal edge-space information (per-dim weights squared).
+        lam_odom = jnp.where(odom_ok[:, None] > 0, w_odom[None, :] ** 2,
+                             1e3)                        # freeze inactive
+        lam = jnp.concatenate([(w_prior ** 2)[None, :], lam_odom], 0)
+        lam = lam + pg.damping                           # (K,6)
+        r_hat = jnp.concatenate(
+            [rp[None], r * (odom_ok[:, None] > 0)], 0)   # (K,6)
+
+        # ---- loop factors: Cauchy-robust rows in edge space -------------
+        rl = r_fn(zero12, X[li], X[lj], loops.z)         # (L,6)
+        Jl = J_fn(zero12, X[li], X[lj], loops.z)         # (L,6,12)
+        e2 = ((rl * w_loop) ** 2).sum(-1)
+        w_c = jnp.sqrt(c2 / (c2 + e2)) * loop_ok * w_loop  # (L,)
+        rlw = rl * w_c[:, None]
+        Qi = (Jl[:, :, :6] * w_c[:, None, None]) @ Phi[li]
+        Qj = (Jl[:, :, 6:] * w_c[:, None, None]) @ Phi[lj]
+        karange = jnp.arange(K)
+        mask_i = (karange[None, :] <= li[:, None]).astype(jnp.float32)
+        mask_j = (karange[None, :] <= lj[:, None]).astype(jnp.float32)
+        # Ghat[l,a,k,c] = rows of G_u M (loop Jacobians in edge space).
+        Ghat = (jnp.einsum("lab,kbc->lakc", Qi, Psi) *
+                mask_i[:, None, :, None] +
+                jnp.einsum("lab,kbc->lakc", Qj, Psi) *
+                mask_j[:, None, :, None])
+        G2 = Ghat.reshape(6 * L, 6 * K)
+
+        # ---- normal equations in w: (Lambda + G^T G) w = -(Lambda r + G^T rl)
+        b_w = -(lam * r_hat).reshape(-1) - G2.T @ rlw.reshape(-1)
+        inv_lam = (1.0 / lam).reshape(-1)
+        y0 = inv_lam * b_w
+        Cap = eyeL + (G2 * inv_lam[None, :]) @ G2.T      # (6L,6L), ~I + small
+        cvec = jnp.linalg.solve(Cap, G2 @ y0)
+        w_sol = (y0 - inv_lam * (G2.T @ cvec)).reshape(K, 6)
+
+        # ---- back to node space: u_k = Phi_k cumsum(Psi_m w_m) -----------
+        t = jnp.cumsum(jnp.einsum("kab,kb->ka", Psi, w_sol), axis=0)
+        upd = jnp.einsum("kab,kb->ka", Phi, t)
+
         upd = jnp.where(jnp.isfinite(upd), upd, 0.0)
         upd = upd * node_ok[:, None]
         X = se3.se3_exp(upd) @ X
-        return X, jnp.linalg.norm(upd)
+        return X, it + 1, jnp.linalg.norm(upd)
+
+    def gn_cond(carry):
+        _, it, upd_norm = carry
+        return (it < pg.max_gn_iterations) & (upd_norm > 1e-4)
 
     X0 = se3.pose6_to_mat(poses6)
-    X_opt, _ = jax.lax.fori_loop(0, pg.max_gn_iterations, gn_iter,
-                                 (X0, jnp.float32(1.0)))
+    X_opt, _, _ = jax.lax.while_loop(
+        gn_cond, gn_iter, (X0, jnp.int32(0), jnp.float32(1.0)))
     out = se3.mat_to_pose6(X_opt)
     return jnp.where(node_ok[:, None], out, poses6)
