@@ -93,9 +93,21 @@ def project(points: jnp.ndarray, mask: jnp.ndarray,
     xyz = jnp.where(valid[:, None], pts_w, 0.0).reshape(H, W, 3)
     validm = valid.reshape(H, W)
 
-    # Intra-scan relative time from the column (the reference derives it from
-    # the azimuth span of the scan, featureAssociation.cpp:504-523; with a
-    # full 360 deg scan that reduces to col/W).
-    rel = (jnp.arange(W, dtype=jnp.float32) / W)[None, :].repeat(H, 0)
-    rel = jnp.where(validm, rel, 0.0)
+    # Intra-scan relative time from the scan's actual azimuth span
+    # (findStartEndAngle, imageProjection.cpp:199-209 + fA.cpp:504-523):
+    # capture order starts at the first point's azimuth and sweeps ~2 pi to
+    # the last point's; rel_time = fraction of that sweep, NOT col/W (which
+    # silently assumes the sweep starts at azimuth 0 — wrong for real
+    # sensors and for partial scans).
+    first_i = jnp.argmax(ok)
+    last_i = n - 1 - jnp.argmax(ok[::-1])
+    a0 = azim[first_i]
+    a1 = azim[last_i]
+    two_pi = jnp.float32(2.0 * jnp.pi)
+    # Span adjusted into [pi, 3 pi] as the reference does (iP.cpp:203-208).
+    span = a1 + two_pi - a0
+    span = jnp.where(span > 3.0 * jnp.pi, span - two_pi, span)
+    span = jnp.where(span < jnp.pi, span + two_pi, span)
+    rel_pts = jnp.mod(azim - a0, two_pi) / span
+    rel = jnp.where(valid, rel_pts[win], 0.0).reshape(H, W)
     return RangeImage(xyz=xyz, rng=rngm, valid=validm, rel_time=rel)

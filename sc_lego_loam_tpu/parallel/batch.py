@@ -117,22 +117,94 @@ class BatchEngine:
         return fused
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def find_cross_loops(config: PipelineConfig, bank_a, bank_b,
                      max_pairs: int = 8):
-    """Descriptor-level cross-sequence loop candidates: for every keyframe
-    of A, the best all-shift cosine match in B (one batched einsum per
-    query).  Returns host lists of (ia, ib, dist, yaw) under threshold."""
+    """Cross-sequence loop candidates, fully batched on device.
+
+    One vmapped all-shifts cosine einsum scores every keyframe of A against
+    the whole bank of B at every column shift (the config-4 scale-out shape:
+    shard bank_b over the 'kf' mesh axis and this einsum runs sharded), then
+    the best ``max_pairs`` pairs under SC_DIST_THRES are selected.
+
+    Returns (ia (P,), ib (P,), dist (P,), yaw (P,), ok (P,)) device arrays.
+    """
     sc = config.sc
-    na, nb = int(bank_a.count), int(bank_b.count)
-    out = []
-    for ia in range(na):
-        d = scan_context.distance_all_shifts(bank_a.desc[ia],
-                                             bank_b.desc[:nb])
-        dist_k = d.min(-1)
-        best = int(jnp.argmin(dist_k))
-        dist = float(dist_k[best])
-        if dist < sc.dist_threshold:
-            yaw = float(jnp.argmin(d[best]) * (2.0 * np.pi / sc.num_sector))
-            out.append((ia, best, dist, yaw))
-    out.sort(key=lambda r: r[2])
-    return out[:max_pairs]
+    Ka = bank_a.desc.shape[0]
+
+    def one(qa):
+        d = scan_context.distance_all_shifts(qa, bank_b.desc)   # (Kb,S)
+        d = jnp.where(jnp.arange(d.shape[0])[:, None] < bank_b.count, d, 1e9)
+        k = jnp.argmin(d.min(-1))
+        return k, d[k].min(), jnp.argmin(d[k])
+
+    ib, dist, shift = jax.vmap(one)(bank_a.desc)                # (Ka,)
+    dist = jnp.where(jnp.arange(Ka) < bank_a.count, dist, 1e9)
+    order = jnp.argsort(dist)[:max_pairs]
+    yaw = shift[order].astype(jnp.float32) * (2.0 * jnp.pi / sc.num_sector)
+    ok = dist[order] < sc.dist_threshold
+    return order.astype(jnp.int32), ib[order].astype(jnp.int32), \
+        dist[order], yaw, ok
+
+
+def verify_cross_loops(config: PipelineConfig, kf_a, kf_b,
+                       ia, ib, yaw, ok):
+    """ICP-verify cross-sequence candidates (the reference never merges
+    sequences; this extends its SC-loop verification, mO.cpp:1053-1093, to
+    pairs of keyframe banks).  A's keyframe cloud is placed at B's candidate
+    pose (SC convention) with the SC yaw seeding the ICP.
+
+    Returns (Z (P,4,4), fitness (P,), accept (P,)): Z is the between
+    measurement X_a(ia)^-1 X_b(ib) after the ICP correction.
+    """
+    from .. import loop as loop_mod
+
+    def one(i_a, i_b, yw, o):
+        place = se3.pose6_to_mat(kf_b.poses6[i_b])
+        src, src_mask = loop_mod.keyframe_cloud(config, kf_a, i_a, place)
+        dst, dst_mask = loop_mod.history_submap(config, kf_b, i_b)
+        phi = -yw
+        Rz = se3.rt_to_mat(
+            se3.euler_zyx_to_mat(phi, jnp.float32(0), jnp.float32(0)),
+            jnp.zeros(3))
+        T0 = place @ Rz @ se3.mat_inv(place)
+        from ..ops import icp
+        dT, fitness = icp.align(config, src, src_mask, dst, dst_mask, T0=T0)
+        x_true = dT @ place
+        Z = se3.mat_inv(x_true) @ se3.pose6_to_mat(kf_b.poses6[i_b])
+        accept = o & (fitness < config.loop.fitness_threshold)
+        return Z, fitness, accept
+
+    return jax.vmap(one)(ia, ib, yaw, ok)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def merge_solve(config: PipelineConfig, poses6, counts, odom_z, loops):
+    """Joint multi-sequence pose-graph solve (BASELINE.json config 4).
+
+    poses6: (S,K,6) per-sequence keyframe poses; counts: (S,); odom_z:
+    (S,K,4,4) per-sequence odometry factors (odom_z[s,0] = prior pose of
+    sequence s's node 0); loops: LoopFactors with GLOBAL node ids
+    (s * K + k) — intra- and cross-sequence factors mixed freely.
+
+    The S chains concatenate into one posegraph.solve call: each sequence
+    start becomes a near-zero-weight boundary edge whose Z is the current
+    relative pose (pure parametrization), so sequence 0 is anchored by the
+    prior and every other sequence's global placement is determined by the
+    cross-sequence loop factors.  Returns optimized (S,K,6).
+    """
+    from .. import posegraph
+
+    S, K = poses6.shape[:2]
+    flat_poses = poses6.reshape(S * K, 6)
+    X = se3.pose6_to_mat(flat_poses)
+    odom_flat = odom_z.reshape(S * K, 4, 4)
+    # Boundary Z := current relative pose across the seam (zero residual).
+    seam = K * jnp.arange(1, S)
+    Zb = se3.mat_inv(X[seam - 1]) @ X[seam]
+    odom_flat = odom_flat.at[seam].set(Zb)
+    node_mask = (jnp.arange(K)[None, :] < counts[:, None]).reshape(-1)
+    out = posegraph.solve(config, flat_poses, jnp.int32(S * K), odom_flat,
+                          loops, node_mask=node_mask,
+                          free_edges=seam.astype(jnp.int32))
+    return out.reshape(S, K, 6)

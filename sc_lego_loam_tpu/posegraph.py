@@ -69,13 +69,23 @@ def _factor_residual(dij, Xi, Xj, Z):
 
 @functools.partial(jax.jit, static_argnums=0)
 def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
-          odom_z: jnp.ndarray, loops: LoopFactors):
+          odom_z: jnp.ndarray, loops: LoopFactors,
+          node_mask: jnp.ndarray | None = None,
+          free_edges: jnp.ndarray | None = None):
     """Robust GN re-solve of the full graph.
 
     poses6: (K,6) current keyframe pose estimates (initialization);
     odom_z: (K,4,4) — odom_z[k] = measured X_{k-1}^-1 X_k for k >= 1;
     odom_z[0] holds the prior pose of node 0.
     Returns optimized poses6 (K,6).
+
+    Multi-chain graphs (merge_solve, BASELINE.json config 4): ``node_mask``
+    (K,) overrides the count-prefix active set, and ``free_edges`` (F,)
+    lists nodes that begin a new sequence — their incoming odometry factor
+    carries no information (it merely parametrizes the chain's placement,
+    which cross-sequence loop factors then determine) and is solved as an
+    explicit unknown of the capacitance system rather than through 1/lambda
+    (which would amplify f32 error by the inverse stiffness).
 
     Scalability & conditioning: each GN step is solved in RELATIVE (edge)
     coordinates.  With w_0 = Jp u_0 and w_k = Ji_k u_{k-1} + Jj_k u_k (the
@@ -99,7 +109,14 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     pg = config.posegraph
     K = poses6.shape[0]
     L = loops.i.shape[0]
-    node_ok = (jnp.arange(K) < count)
+    node_ok = node_mask if node_mask is not None else (jnp.arange(K) < count)
+    if free_edges is None:
+        free_edges = jnp.zeros((0,), jnp.int32)
+    F = free_edges.shape[0]
+    chain_starts = jnp.zeros((K,), bool).at[free_edges].set(
+        True, mode="drop")
+    free_cols = (free_edges[:, None] * 6 +
+                 jnp.arange(6)[None, :]).reshape(-1)      # (6F,)
 
     w_prior = 1.0 / jnp.sqrt(jnp.asarray(pg.prior_var, jnp.float32))
     w_odom = 1.0 / jnp.sqrt(jnp.asarray(pg.odom_var, jnp.float32))
@@ -146,10 +163,12 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
         # Diagonal edge-space information (per-dim weights squared).
         lam_odom = jnp.where(odom_ok[:, None] > 0, w_odom[None, :] ** 2,
                              1e3)                        # freeze inactive
+        bnd = chain_starts[1:]
         lam = jnp.concatenate([(w_prior ** 2)[None, :], lam_odom], 0)
         lam = lam + pg.damping                           # (K,6)
         r_hat = jnp.concatenate(
-            [rp[None], r * (odom_ok[:, None] > 0)], 0)   # (K,6)
+            [rp[None],
+             r * (odom_ok[:, None] > 0) * (~bnd[:, None])], 0)
 
         # ---- loop factors: Cauchy-robust rows in edge space -------------
         rl = r_fn(zero12, X[li], X[lj], loops.z)         # (L,6)
@@ -170,12 +189,33 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
         G2 = Ghat.reshape(6 * L, 6 * K)
 
         # ---- normal equations in w: (Lambda + G^T G) w = -(Lambda r + G^T rl)
-        b_w = -(lam * r_hat).reshape(-1) - G2.T @ rlw.reshape(-1)
+        # Solved in the "loop residual" variable v = rlw + G w, which keeps
+        # every quantity O(residual): w = -r_hat - Lambda^{-1} G^T v and
+        # (I + G Lambda^{-1} G^T) v = rlw - G r_hat.  Free (chain-boundary)
+        # edges have ~zero stiffness, so their w is appended to the dense
+        # system as an explicit unknown instead of multiplying by 1/lambda:
+        #   [ I + Gs Ls^{-1} Gs^T   -Gf ] [ v  ]   [ rlw - G r_hat ]
+        #   [ Gf^T             damping*I] [ wf ] = [ 0             ]
         inv_lam = (1.0 / lam).reshape(-1)
-        y0 = inv_lam * b_w
-        Cap = eyeL + (G2 * inv_lam[None, :]) @ G2.T      # (6L,6L), ~I + small
-        cvec = jnp.linalg.solve(Cap, G2 @ y0)
-        w_sol = (y0 - inv_lam * (G2.T @ cvec)).reshape(K, 6)
+        if F:
+            inv_lam = inv_lam.at[free_cols].set(0.0)     # stiff part only
+        M11 = eyeL + (G2 * inv_lam[None, :]) @ G2.T      # (6L,6L)
+        rhs1 = rlw.reshape(-1) - G2 @ r_hat.reshape(-1)
+        if F:
+            Gf = G2[:, free_cols]                        # (6L,6F)
+            Aug = jnp.block(
+                [[M11, -Gf],
+                 [Gf.T, pg.damping * jnp.eye(6 * F, dtype=jnp.float32)]])
+            sol = jnp.linalg.solve(
+                Aug, jnp.concatenate([rhs1, jnp.zeros((6 * F,),
+                                                      jnp.float32)]))
+            v, wf = sol[:6 * L], sol[6 * L:]
+        else:
+            v = jnp.linalg.solve(M11, rhs1)
+            wf = jnp.zeros((0,), jnp.float32)
+        w_sol = (-r_hat.reshape(-1) - inv_lam * (G2.T @ v)).reshape(K, 6)
+        if F:
+            w_sol = w_sol.at[free_edges].set(wf.reshape(F, 6))
 
         # ---- back to node space: u_k = Phi_k cumsum(Psi_m w_m) -----------
         t = jnp.cumsum(jnp.einsum("kab,kb->ka", Psi, w_sol), axis=0)
@@ -183,6 +223,28 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
 
         upd = jnp.where(jnp.isfinite(upd), upd, 0.0)
         upd = upd * node_ok[:, None]
+
+        # Backtracking on the robust cost: GN + IRLS can overshoot and
+        # oscillate when a loop factor demands a large rigid correction
+        # (the Cauchy weight swings with the residual); take the best of a
+        # few step scales, 0 included, so every iteration is monotone.
+        def total_cost(Xc):
+            rr = r_fn(zero12, Xc[:-1], Xc[1:], odom_z[1:])
+            rpp = se3.se3_log(se3.mat_inv(odom_z[0]) @ Xc[0])
+            rh = jnp.concatenate(
+                [rpp[None],
+                 rr * (odom_ok[:, None] > 0) * (~bnd[:, None])], 0)
+            c_odom = (lam * rh * rh).sum()
+            rll = r_fn(zero12, Xc[li], Xc[lj], loops.z)
+            e2l = ((rll * w_loop) ** 2).sum(-1)
+            c_loop = (c2 * jnp.log1p(e2l / c2) * loop_ok).sum()
+            return c_odom + c_loop
+
+        scales = jnp.array([0.0, 0.1, 0.25, 0.5, 1.0], jnp.float32)
+        costs = jax.vmap(
+            lambda s: total_cost(se3.se3_exp(s * upd) @ X))(scales)
+        s_best = scales[jnp.argmin(costs)]
+        upd = s_best * upd
         X = se3.se3_exp(upd) @ X
         return X, it + 1, jnp.linalg.norm(upd)
 

@@ -50,8 +50,70 @@ def test_find_cross_loops_same_world():
         bank_a = scan_context.append(bank_a, d, K)
         # B holds the same scenes yaw-rotated (rolled columns).
         bank_b = scan_context.append(bank_b, jnp.roll(d, 10, axis=1), K)
-    hits = find_cross_loops(cfg, bank_a, bank_b)
-    assert len(hits) >= 4
-    for ia, ib, dist, yaw in hits:
-        assert ia == ib
-        assert dist < 0.05
+    ia, ib, dist, yaw, ok = find_cross_loops(cfg, bank_a, bank_b)
+    assert int(ok.sum()) >= 4
+    for p in range(int(ok.sum())):
+        assert int(ia[p]) == int(ib[p])
+        assert float(dist[p]) < 0.05
+
+
+def test_merge_solve_joins_sequences():
+    """Two copies of a drifty chain over the same route, tied together by
+    cross loops: the joint solve must pull sequence 1 onto sequence 0
+    (BASELINE.json config 4)."""
+    from sc_lego_loam_tpu import posegraph
+    from sc_lego_loam_tpu.parallel.batch import merge_solve
+    from sc_lego_loam_tpu.utils import se3
+    from sc_lego_loam_tpu.config import PoseGraphConfig, LoopClosureConfig
+
+    cfg = tiny_test_config().replace(
+        posegraph=PoseGraphConfig(odom_var=(1e-2,) * 6, max_loops=16),
+        loop=LoopClosureConfig(loop_noise_var=1e-4))
+    K = cfg.cap.max_keyframes
+    n = 12
+    rng = np.random.default_rng(3)
+
+    # Ground truth: straight +x route, both sequences drive it.
+    gt = np.stack([np.eye(4, dtype=np.float32) for _ in range(n)])
+    for i in range(n):
+        gt[i, 0, 3] = i * 1.0
+
+    def make_chain(offset_y, drift_seed):
+        r = np.random.default_rng(drift_seed)
+        odom = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4)).copy()
+        start = np.eye(4, dtype=np.float32)
+        start[1, 3] = offset_y            # wrong initial placement for seq 1
+        odom[0] = start
+        est = [start]
+        for i in range(1, n):
+            Z = np.linalg.inv(gt[i - 1]) @ gt[i]
+            noise = np.asarray(se3.se3_exp(jnp.asarray(
+                r.normal(0, 0.01, 6), jnp.float32)))
+            Z = (Z @ noise).astype(np.float32)
+            odom[i] = Z
+            est.append((est[-1] @ Z).astype(np.float32))
+        poses6 = np.zeros((K, 6), np.float32)
+        poses6[:n] = np.asarray(se3.mat_to_pose6(jnp.asarray(np.stack(est))))
+        return poses6, odom
+
+    p0, o0 = make_chain(0.0, 10)
+    p1, o1 = make_chain(5.0, 11)         # seq 1 floats 5 m off the route
+    poses6 = jnp.asarray(np.stack([p0, p1]))
+    odom = jnp.asarray(np.stack([o0, o1]))
+    counts = jnp.asarray([n, n], jnp.int32)
+
+    # Cross loops: same-route keyframes coincide (Z = identity), global ids.
+    loops = posegraph.init_loops(cfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    for k in (1, 4, 7, 10):
+        loops = posegraph.add_loop(
+            loops, jnp.int32(K + k), jnp.int32(k), eye)
+
+    out = np.asarray(merge_solve(cfg, poses6, counts, odom, loops))
+    # Sequence 0 stays anchored; sequence 1 is pulled onto the route.
+    assert np.abs(out[0, :n, 3:6] - p0[:n, 3:6]).max() < 0.5
+    off = np.abs(out[1, :n, 4] - 0.0).max()   # y offset after merge
+    assert off < 1.0, f"seq 1 still {off} m off-route"
+    # And its internal shape is preserved (still a straight +x chain).
+    dx = np.diff(out[1, :n, 3])
+    assert (dx > 0.5).all()
