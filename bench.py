@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: full-pipeline frames/sec on one chip.
+"""Benchmark: full-pipeline frames/sec on one chip, loops included.
 
 Runs the complete SLAM engine (frontend -> features -> odometry -> mapping
--> scan context -> loop closure) on a synthetic OS1-64 sequence and reports
-steady-state frames/sec.  Baseline = the reference's design target of
-10 Hz real-time on a desktop CPU (utility.h:111 scanPeriod=0.1; BASELINE.md).
+-> scan context -> loop closure -> pose graph) on a REVISITING figure-8
+OS1-64 synthetic sequence, so Scan Context retrieval, ICP verification and
+the pose-graph re-solve all execute inside the timed region (the reference
+headline feature; a straight-line run would never take the loop branch).
+Baseline = the reference's design target of 10 Hz real-time on a desktop
+CPU (utility.h:111 scanPeriod=0.1; BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -16,10 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_SCANS = int(os.environ.get("BENCH_SCANS", "60"))
+# Long enough that keyframes exceed the SC exclude-recent window (50) and
+# the revisit closes loops with the reference's real thresholds.
+N_SCANS = int(os.environ.get("BENCH_SCANS", "240"))
 # Warmup must cover every compile path: mapping ticks, keyframe insertion,
 # and the first loop-closure check (fires at check_every keyframes).
 WARMUP = int(os.environ.get("BENCH_WARMUP", "16"))
+TRAJ = os.environ.get("BENCH_TRAJ", "figure8")
 BASELINE_FPS = 10.0   # reference real-time rate (BASELINE.md)
 
 
@@ -37,9 +43,11 @@ def main():
     from sc_lego_loam_tpu.utils import synthetic, evaluate
 
     cfg = synthetic_config()
+    kw = dict(radius=30.0, loops=1.05) if TRAJ == "figure8" else \
+        dict(step=0.4)
     scans, valids, gt = synthetic.make_sequence(
-        cfg.lidar, N_SCANS, trajectory="straight", step=0.4, noise=0.01,
-        seed=11, shuffle=False)    # beam-ordered, as real sensors emit
+        cfg.lidar, N_SCANS, trajectory=TRAJ, noise=0.01,
+        seed=11, shuffle=False, **kw)    # beam-ordered, as real sensors emit
 
     engine = SlamEngine(cfg)
     # Warmup: trigger every compile path (incl. mapping + the loop-closure
@@ -67,9 +75,11 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "extra": {
+            "trajectory": TRAJ,
             "ate_rmse_m": round(ate, 4),
             "scans": N_SCANS - WARMUP,
             "keyframes": int(engine.map.kf.count),
+            "loops_closed": int(engine.state.loops_closed),
             "platform": _backend(),
         },
     }))

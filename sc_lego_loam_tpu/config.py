@@ -211,6 +211,27 @@ class MappingConfig:
 
 
 @dataclass(frozen=True)
+class ImuConfig:
+    """IMU fusion (reference C7: featureAssociation.cpp:327-619 de-skew,
+    :1639-1664 updateInitialGuess prior; mapOptmization.cpp:484-517
+    roll/pitch blend).  Off by default: MulRan runs are lidar-only
+    (utility.h:91) and the constant-velocity model applies instead."""
+
+    enabled: bool = False
+    que_len: int = 200                   # utility.h:113 imuQueLength
+    # transformUpdate blends 0.2% of the IMU roll/pitch into the mapped
+    # pose (mO.cpp:490-516: 0.998 * transform + 0.002 * imu).
+    blend: float = 0.002
+    # Use the IMU dead-reckoned motion as the scan-to-scan initial guess
+    # instead of the constant-velocity prior (fA.cpp:1639-1664).
+    prior: bool = True
+    # IMU-based point de-skew before projection (fA.cpp:491-619); the
+    # motion-interpolated exp(s*xi) de-skew in the odometry solver still
+    # applies on top, as in the reference.
+    deskew: bool = True
+
+
+@dataclass(frozen=True)
 class ScanContextConfig:
     """Scan Context descriptor + retrieval (Scancontext.h:77-96)."""
 
@@ -302,6 +323,7 @@ class PipelineConfig:
     feat: FeatureConfig = FeatureConfig()
     odom: OdometryConfig = OdometryConfig()
     mapping: MappingConfig = MappingConfig()
+    imu: ImuConfig = ImuConfig()
     sc: ScanContextConfig = ScanContextConfig()
     loop: LoopClosureConfig = LoopClosureConfig()
     posegraph: PoseGraphConfig = PoseGraphConfig()

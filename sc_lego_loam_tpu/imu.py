@@ -140,3 +140,21 @@ def shift_from_start(buf: ImuBuffer, scan_start, scan_end):
     reference feeds into updateInitialGuess, fA.cpp:1639-1664)."""
     _, sh, _ = _interp(buf, jnp.stack([scan_start, scan_end]))
     return sh[1] - sh[0]
+
+
+def motion_prior(buf: ImuBuffer, scan_start, scan_end):
+    """Dead-reckoned sensor motion over one scan as an se(3) twist — the
+    scan-to-scan initial guess (updateInitialGuess, fA.cpp:1639-1664)."""
+    rpy, sh, _ = _interp(buf, jnp.stack([scan_start, scan_end]))
+    R0 = se3.euler_zyx_to_mat(rpy[0, 2], rpy[0, 1], rpy[0, 0])
+    R1 = se3.euler_zyx_to_mat(rpy[1, 2], rpy[1, 1], rpy[1, 0])
+    R_rel = R0.T @ R1
+    v = R0.T @ (sh[1] - sh[0])
+    return se3.se3_log(se3.rt_to_mat(R_rel, v))
+
+
+def rpy_at(buf: ImuBuffer, t):
+    """World roll/pitch/yaw interpolated at time t (the transformUpdate
+    blend input, mO.cpp:484-517)."""
+    rpy, _, _ = _interp(buf, jnp.reshape(t, (1,)))
+    return rpy[0]

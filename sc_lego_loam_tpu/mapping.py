@@ -94,14 +94,31 @@ def _transform(T, pts):
 
 
 def build_submap(config: PipelineConfig, kf: KeyframeStore):
-    """Union of recent keyframe clouds in world frame, voxel-downsampled
-    (extractSurroundingKeyFrames, loop-ON path mO.cpp:1127-1166; corner DS
-    0.2, surf(+outlier) DS 0.3, mO.cpp:1223-1230)."""
+    """Union of selected keyframe clouds in world frame, voxel-downsampled
+    (extractSurroundingKeyFrames; corner DS 0.2, surf(+outlier) DS 0.3,
+    mO.cpp:1223-1230).
+
+    Loop-closure ON: the ``submap_recent_num`` most recent keyframes
+    (mO.cpp:1127-1166 deque path).  OFF: the nearest keyframes within
+    ``submap_search_radius`` of the latest pose (mO.cpp:1167-1222 radius
+    search path) — capped at the same count to keep shapes static (the
+    reference's incremental add/remove cache is a CPU economy; here the
+    gather is one batched top-k)."""
     cap, m = config.cap, config.mapping
     R = m.submap_recent_num
     last = kf.count - 1
-    idx = jnp.clip(last - jnp.arange(R), 0, cap.max_keyframes - 1)
-    sel_ok = (last - jnp.arange(R)) >= 0
+    if config.loop.enabled:
+        idx = jnp.clip(last - jnp.arange(R), 0, cap.max_keyframes - 1)
+        sel_ok = (last - jnp.arange(R)) >= 0
+    else:
+        cur = kf.poses6[jnp.maximum(last, 0), 3:6]
+        d = jnp.linalg.norm(kf.poses6[:, 3:6] - cur, axis=-1)
+        ok = (jnp.arange(cap.max_keyframes) < kf.count) & \
+             (d < m.submap_search_radius)
+        score = jnp.where(ok, -d, -jnp.inf)
+        score_k, idx = jax.lax.top_k(score, R)
+        sel_ok = jnp.isfinite(score_k)
+        idx = jnp.clip(idx, 0, cap.max_keyframes - 1)
 
     poses = se3.pose6_to_mat(kf.poses6[idx])              # (R,4,4)
 
@@ -135,9 +152,8 @@ def _corner_geometry(p_w, submap, knn5, m):
     center = pts.mean(1)
     d = pts - center[:, None]
     cov = jnp.einsum("qki,qkj->qij", d, d) / m.knn
-    evals, evecs = jnp.linalg.eigh(cov)            # ascending
+    evals, dirv = solver.sym3_eig(cov)             # ascending, v of largest
     is_line = evals[:, 2] > m.corner_eig_ratio * evals[:, 1]
-    dirv = evecs[:, :, 2]
     a = center + 0.1 * dirv
     b = center - 0.1 * dirv
     return a, b, nn_ok & is_line

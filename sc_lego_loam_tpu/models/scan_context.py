@@ -61,10 +61,19 @@ def make_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
     ok = mask & (rho < sc.max_radius) & (rho > 1e-3)
     ring = jnp.clip((rho / (sc.max_radius / R)).astype(jnp.int32), 0, R - 1)
     sector = jnp.clip((theta / (360.0 / S)).astype(jnp.int32), 0, S - 1)
-    flat = ring * S + sector
+    flat = jnp.where(ok, ring * S + sector, 0)
     val = jnp.where(ok, z + sc.lidar_height, -_BIG)
-    desc = jnp.full((R * S,), -_BIG, jnp.float32).at[
-        jnp.where(ok, flat, 0)].max(val, mode="drop")
+    # Chunked scatter-max: TPU scatters serialize over colliding updates,
+    # so one 65k-point scatter is ~memory-latency bound; C independent
+    # per-chunk scatters (vmapped) + one max-reduce run ~C-way parallel.
+    n = points.shape[0]
+    C = 64
+    while n % C:
+        C //= 2
+    desc = jax.vmap(
+        lambda f, v: jnp.full((R * S,), -_BIG, jnp.float32).at[f].max(
+            v, mode="drop")
+    )(flat.reshape(C, -1), val.reshape(C, -1)).max(0)
     desc = jnp.where(desc <= -_BIG * 0.5, 0.0, desc)
     return desc.reshape(R, S)
 
@@ -95,6 +104,16 @@ def distance_all_shifts(query: jnp.ndarray, bank_desc: jnp.ndarray):
 
     Returns (K, S) distances.  Columns with zero norm in either descriptor
     are skipped from the mean (distDirectSC, Scancontext.cpp:69-90).
+
+    Shift s compares query column (m+s) % S with bank column m, i.e. shift
+    s is the column roll applied to the BANK descriptor that best
+    reproduces the query (circshift convention, Scancontext.cpp:39-59).
+    Formulation: materialize all S rolled copies of the (tiny) query once
+    and contract them against the whole bank in ONE (S, R*S) x (R*S, K)
+    matmul — the "batched descriptor-distance matmul" of BASELINE.json.
+    (The shifted-diagonal-gather alternative is ~80x slower on TPU: it
+    gathers a (K,S,S) tensor with materialized indices instead of running
+    on the MXU.)
     """
     K, R, S = bank_desc.shape
     qn = jnp.linalg.norm(query, axis=0)                    # (S,)
@@ -104,27 +123,21 @@ def distance_all_shifts(query: jnp.ndarray, bank_desc: jnp.ndarray):
     q_ok = (qn > 0).astype(jnp.float32)
     b_ok = (bn > 0).astype(jnp.float32)
 
-    # M[k, j, m] = cos sim of query col j with bank-k col m  (MXU einsum).
-    M = jnp.einsum("rj,krm->kjm", q_unit, b_unit,
-                   preferred_element_type=jnp.float32)
-    M = M * q_ok[None, :, None] * b_ok[:, None, :]
-    Nv = q_ok[None, :, None] * b_ok[:, None, :]            # valid-col indicator
+    # All rolled query copies: Qs[s, r, m] = q_unit[r, (m+s) % S], with
+    # invalid columns zeroed so they contribute no similarity.
+    m_idx = jnp.arange(S)[None, :]
+    s_idx = jnp.arange(S)[:, None]
+    roll_idx = (m_idx + s_idx) % S                         # (S_shift, S_m)
+    Qs = (q_unit * q_ok[None, :])[:, roll_idx]             # (R, S_shift, S_m)
+    Qs = jnp.swapaxes(Qs, 0, 1)                            # (S_shift, R, S_m)
+    q_ok_s = q_ok[roll_idx]                                # (S_shift, S_m)
 
-    # Shift s compares query col (m+s) % S with bank col m (i.e. shift s is
-    # the column roll applied to the BANK descriptor that best reproduces
-    # the query: query ~ roll(bank, s, axis=cols), matching the circshift
-    # convention of Scancontext.cpp:39-59).  Sum over the wrapped diagonal
-    # via a circular gather.
-    m_idx = jnp.arange(S)[:, None]
-    s_idx = jnp.arange(S)[None, :]
-    gather = (m_idx + s_idx) % S                           # (S_m, S_shift)
-    Mt = jnp.swapaxes(M, 1, 2)                             # (K, m, j)
-    Nt = jnp.swapaxes(Nv, 1, 2)
-    sims = jnp.take_along_axis(
-        Mt, gather[None].repeat(K, 0), axis=2)             # (K, S_m, S_shift)
-    cnts = jnp.take_along_axis(Nt, gather[None].repeat(K, 0), axis=2)
-    sim_sum = sims.sum(1)                                  # (K, S)
-    cnt_sum = cnts.sum(1)
+    # sim_sum[k, s] = sum_{r,m} Qs[s,r,m] * b_unit[k,r,m]   (one MXU matmul)
+    sim_sum = jnp.einsum("srm,krm->ks", Qs, b_unit,
+                         preferred_element_type=jnp.float32)
+    # cnt_sum[k, s] = number of mutually valid columns at that shift.
+    cnt_sum = jnp.einsum("sm,km->ks", q_ok_s, b_ok,
+                         preferred_element_type=jnp.float32)
     dist = 1.0 - sim_sum / jnp.maximum(cnt_sum, 1.0)
     return jnp.where(cnt_sum > 0, dist, _BIG)
 

@@ -279,8 +279,13 @@ def _joint_loop(xi0, corner_research, corner_resid, surf_research,
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
-    """One odometry tick. Returns (new_state, world_pose (4,4), rel twist)."""
+def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
+         xi_prior: jnp.ndarray | None = None):
+    """One odometry tick. Returns (new_state, world_pose (4,4), rel twist).
+
+    ``xi_prior``: optional initial-guess twist (the IMU dead-reckoned
+    motion, updateInitialGuess fA.cpp:1639-1664); defaults to the
+    constant-velocity prior (previous twist)."""
     ocfg = config.odom
 
     def do_init():
@@ -291,7 +296,8 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet):
         return new, state.pose, jnp.zeros((6,), jnp.float32)
 
     def do_track():
-        xi0 = state.motion                       # constant-velocity prior
+        # Constant-velocity prior, unless an (IMU) prior is supplied.
+        xi0 = state.motion if xi_prior is None else xi_prior
         if ocfg.joint_6dof and ocfg.dense_queries:
             def subsample(fc: FeatureCloud, cap: int) -> FeatureCloud:
                 # Strided static-shape subsample of the padded bank (entries

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import LidarConfig
@@ -83,8 +84,16 @@ def project(points: jnp.ndarray, mask: jnp.ndarray,
     idx = jnp.arange(n, dtype=jnp.int32)
     key = (rq << 16) | idx
     SENT = jnp.int32((1 << 30) - 1)
-    packed = jnp.full((H * W,), SENT, jnp.int32).at[flat].min(
-        jnp.where(ok, key, SENT), mode="drop")
+    key = jnp.where(ok, key, SENT)
+    # Chunked scatter-min (TPU scatters serialize over colliding updates;
+    # C independent per-chunk scatters + one min-reduce run C-way parallel).
+    C = 64
+    while n % C:
+        C //= 2
+    packed = jax.vmap(
+        lambda f, k: jnp.full((H * W,), SENT, jnp.int32).at[f].min(
+            k, mode="drop")
+    )(flat.reshape(C, -1), key.reshape(C, -1)).min(0)
     valid = packed < SENT
     win = jnp.clip(packed & 0xFFFF, 0, n - 1)
     pts_w = points[win]

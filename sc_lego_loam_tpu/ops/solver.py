@@ -62,6 +62,53 @@ def gauss_newton_step(J: jnp.ndarray, r: jnp.ndarray, w: jnp.ndarray,
     return delta, H, g
 
 
+def sym3_eig(A: jnp.ndarray):
+    """Closed-form eigendecomposition of batched symmetric 3x3 matrices.
+
+    Returns (evals (...,3) ascending, v_max (...,3) unit eigenvector of the
+    LARGEST eigenvalue).  Replaces jnp.linalg.eigh in the per-point line
+    fits (cornerOptimization analog): the iterative batched eigh is ~50x
+    slower on TPU than this trigonometric form (elementwise VPU math).
+    """
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    d0, d1, d2 = a00 - q, a11 - q, a22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    iso = p2 < 1e-20                       # (near-)isotropic: all evals = q
+    ps = jnp.where(iso, 1.0, p)
+    # det((A - qI)/p) / 2
+    b00, b11, b22 = d0 / ps, d1 / ps, d2 / ps
+    b01, b02, b12 = a01 / ps, a02 / ps, a12 / ps
+    detB = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_max = q + 2.0 * p * jnp.cos(phi)
+    e_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_max - e_min
+    e_max = jnp.where(iso, q, e_max)
+    e_mid = jnp.where(iso, q, e_mid)
+    e_min = jnp.where(iso, q, e_min)
+    evals = jnp.stack([e_min, e_mid, e_max], -1)
+
+    # Eigenvector of e_max: any nonzero column of (A - e_mid I)(A - e_min I)
+    # (Cayley-Hamilton); pick the largest-norm column for stability.
+    eye = jnp.eye(3, dtype=A.dtype)
+    C = (A - e_mid[..., None, None] * eye) @ (A - e_min[..., None, None] * eye)
+    norms = jnp.linalg.norm(C, axis=-2)                       # (...,3) per col
+    best = jnp.argmax(norms, -1)
+    v = jnp.take_along_axis(
+        C, best[..., None, None].repeat(3, -2), axis=-1)[..., 0]
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(eye[2], v.shape)
+    v = jnp.where(vn > 1e-12, v / jnp.maximum(vn, 1e-12), fallback)
+    return evals, v
+
+
 def degeneracy_projector(H: jnp.ndarray, eig_threshold: float):
     """Null-space projection matrix matP (fA.cpp:1329-1356): eigen-decompose
     H, zero components of the update along eigenvectors with small

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import frontend, loop, mapping, odometry, posegraph
+from . import frontend, imu as imu_mod, loop, mapping, odometry, posegraph
 from .config import PipelineConfig
 from .models import scan_context
 from .ops import features as features_op
@@ -52,12 +52,40 @@ def _extract(config: PipelineConfig, cloud, outlier_grid):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _perception_step(config: PipelineConfig, points, mask, odo_state):
+def _perception_step(config: PipelineConfig, points, mask, odo_state,
+                     imu_buf=None, t=None):
     """Fused per-scan device step: frontend -> features -> odometry.
     One dispatch per scan; XLA schedules the whole graph."""
-    fo = frontend.run(config, points, mask)
-    fs, out_pts, out_mask = _extract(config, fo.cloud, fo.outlier)
-    new_state, odom_pose, xi = odometry.step(config, odo_state, fs)
+    cfg = config
+    fo = frontend.run(cfg, points, mask)
+    if cfg.imu.enabled and cfg.imu.deskew and imu_buf is not None:
+        # IMU point de-skew on the segmented cloud (adjustDistortion,
+        # fA.cpp:491-619) — applied before feature extraction, as in the
+        # reference; no-op until the buffer holds samples.
+        cloud = fo.cloud
+        shp = cloud.xyz.shape
+        pts_d = imu_mod.deskew(
+            imu_buf, cloud.xyz.reshape(-1, 3), cloud.rel_time.reshape(-1),
+            t, cfg.lidar.scan_period)
+        xyz = jnp.where(imu_buf.count > 1, pts_d.reshape(shp), cloud.xyz)
+        fo = fo._replace(cloud=cloud._replace(
+            xyz=jnp.where(cloud.valid[..., None], xyz, 0.0)))
+    fs, out_pts, out_mask = _extract(cfg, fo.cloud, fo.outlier)
+    if cfg.imu.enabled and cfg.imu.prior and imu_buf is not None:
+        # IMU initial guess (updateInitialGuess, fA.cpp:1639-1664): the
+        # orientation delta is trusted (attitude is drift-bounded); the
+        # dead-reckoned translation depends on an unobservable initial
+        # velocity, so translation keeps the constant-velocity prior.
+        xi_imu = imu_mod.motion_prior(imu_buf, t,
+                                      t + cfg.lidar.scan_period)
+        ok = (imu_buf.count > 1) & jnp.isfinite(xi_imu).all()
+        xi_prior = jnp.where(
+            ok,
+            jnp.concatenate([xi_imu[:3], odo_state.motion[3:]]),
+            odo_state.motion)
+    else:
+        xi_prior = None
+    new_state, odom_pose, xi = odometry.step(cfg, odo_state, fs, xi_prior)
     return new_state, odom_pose, xi, out_pts, out_mask
 
 
@@ -85,6 +113,7 @@ class EngineState(NamedTuple):
     map: mapping.MapState
     bank: scan_context.DescriptorBank
     loops: posegraph.LoopFactors
+    imu: imu_mod.ImuBuffer
     # Cached world-frame submap (extractSurroundingKeyFrames analog,
     # mO.cpp:1122-1231) — rebuilt on keyframe insert / pose correction.
     sub_c: jnp.ndarray
@@ -109,6 +138,7 @@ def init_engine_state(config: PipelineConfig) -> EngineState:
         map=kf0,
         bank=scan_context.init_bank(config),
         loops=posegraph.init_loops(config),
+        imu=imu_mod.init_buffer(config.imu.que_len),
         sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3],
         traj=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                               (cap.max_scans, 4, 4)).copy(),
@@ -140,6 +170,15 @@ def _mapping_tick(config: PipelineConfig, st: EngineState, points, mask,
     surf_qm = jnp.concatenate([sm, om])
     pose = mapping.scan_to_map(cfg, T_guess, c, cm, surf_q, surf_qm,
                                st.sub_c, st.sub_cm, st.sub_s, st.sub_sm)
+    if cfg.imu.enabled:
+        # transformUpdate (mO.cpp:484-517): blend a sliver of the IMU
+        # roll/pitch into the mapped pose to bound long-horizon tilt drift.
+        rpy_i = imu_mod.rpy_at(st.imu, t)
+        p6 = se3.mat_to_pose6(pose)
+        b = cfg.imu.blend
+        p6b = p6.at[0].set((1 - b) * p6[0] + b * rpy_i[0])
+        p6b = p6b.at[1].set((1 - b) * p6[1] + b * rpy_i[1])
+        pose = jnp.where(st.imu.count > 1, se3.pose6_to_mat(p6b), pose)
     correction = pose @ se3.mat_inv(odom_pose)
     st = st._replace(map=st.map._replace(pose=pose, correction=correction))
 
@@ -200,7 +239,7 @@ def engine_step(config: PipelineConfig, state: EngineState,
     stays host-side; everything else is device control flow."""
     cfg = config
     odo, odom_pose, _, out_pts, out_mask = _perception_step(
-        cfg, points, mask, state.odo)
+        cfg, points, mask, state.odo, state.imu, t)
     state = state._replace(odo=odo)
 
     state = jax.lax.cond(
@@ -219,17 +258,51 @@ def engine_step(config: PipelineConfig, state: EngineState,
     return state, fused
 
 
+def _shard_state(state: EngineState, mesh) -> EngineState:
+    """Shard the trajectory-length-proportional banks over the 'kf' axis;
+    everything else stays replicated (small, or updated every scan)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    kf = state.map.kf
+    kf = kf._replace(
+        corner=put(kf.corner, P("kf")),
+        corner_mask=put(kf.corner_mask, P("kf")),
+        surf=put(kf.surf, P("kf")),
+        surf_mask=put(kf.surf_mask, P("kf")),
+        outlier=put(kf.outlier, P("kf")),
+        outlier_mask=put(kf.outlier_mask, P("kf")),
+    )
+    bank = state.bank._replace(
+        desc=put(state.bank.desc, P("kf")),
+        ringkey=put(state.bank.ringkey, P("kf")),
+    )
+    return state._replace(map=state.map._replace(kf=kf), bank=bank)
+
+
 class SlamEngine:
     """Single-sequence SLAM (BASELINE.json configs 1-3).
 
     Host-side responsibilities are scheduling-only: the mapping-cadence
     gate and feeding scans.  `process_scan` performs no host sync — the
     returned pose is a lazy device array; `trajectory_array()` fetches the
-    whole run with one sync."""
+    whole run with one sync.
 
-    def __init__(self, config: PipelineConfig):
+    ``mesh``: optional Mesh with a 'kf' axis.  The keyframe cloud banks and
+    the Scan Context descriptor bank — the memory that grows with
+    trajectory length — are sharded over it; the jitted engine step then
+    runs SPMD with XLA-inserted collectives for the submap gathers and the
+    retrieval matmul (keyframe-bank scale-out, SURVEY.md par.5
+    "long-context" row)."""
+
+    def __init__(self, config: PipelineConfig, mesh=None):
         self.config = config
+        self.mesh = mesh
         self.state = init_engine_state(config)
+        if mesh is not None:
+            self.state = _shard_state(self.state, mesh)
         self.last_map_time = -1e9
         self.timer = StageTimer()  # per-stage wall clock (SURVEY.md par.5)
         self._scans_fed = 0
@@ -274,6 +347,16 @@ class SlamEngine:
         self.state = self.state._replace(loops=jax.tree.map(jnp.copy, v))
 
     # ------------------------------------------------------------------ #
+
+    def push_imu(self, t: float, rpy, acc, gyro):
+        """Feed one IMU sample (imuHandler, fA.cpp:431-489): world-frame
+        roll/pitch/yaw, body linear acceleration (m/s^2, gravity included),
+        body angular rate (rad/s).  Push all samples with timestamps up to
+        a scan's end before feeding that scan."""
+        self.state = self.state._replace(imu=imu_mod.push(
+            self.state.imu, jnp.float32(t),
+            jnp.asarray(rpy, jnp.float32), jnp.asarray(acc, jnp.float32),
+            jnp.asarray(gyro, jnp.float32)))
 
     def process_scan(self, points, mask, t: float):
         """Feed one scan (padded (N,3) + mask). Returns the fused pose as a

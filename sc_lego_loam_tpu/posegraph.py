@@ -67,11 +67,12 @@ def _factor_residual(dij, Xi, Xj, Z):
     return se3.se3_log(se3.mat_inv(Z) @ se3.mat_inv(Xi2) @ Xj2)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(jax.jit, static_argnums=(0, 7))
 def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
           odom_z: jnp.ndarray, loops: LoopFactors,
           node_mask: jnp.ndarray | None = None,
-          free_edges: jnp.ndarray | None = None):
+          free_edges: jnp.ndarray | None = None,
+          mesh=None):
     """Robust GN re-solve of the full graph.
 
     poses6: (K,6) current keyframe pose estimates (initialization);
@@ -86,6 +87,14 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     which cross-sequence loop factors then determine) and is solved as an
     explicit unknown of the capacitance system rather than through 1/lambda
     (which would amplify f32 error by the inverse stiffness).
+
+    ``mesh`` (static, optional): a Mesh with a 'kf' axis.  The loop-factor
+    bank and the (L,6,K,6) edge-space loop Jacobian are sharding-annotated
+    over 'kf'; XLA GSPMD then shards the O(L K) Ghat build and the
+    (6L x 6K x 6L) capacitance contraction across devices and inserts the
+    ICI collectives (the BASELINE.json "distributed pose-graph solve" —
+    sharding annotations + compiler-inserted reduce, not hand-written
+    NCCL).
 
     Scalability & conditioning: each GN step is solved in RELATIVE (edge)
     coordinates.  With w_0 = Jp u_0 and w_k = Ji_k u_{k-1} + Jj_k u_k (the
@@ -110,6 +119,15 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     K = poses6.shape[0]
     L = loops.i.shape[0]
     node_ok = node_mask if node_mask is not None else (jnp.arange(K) < count)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard_l = NamedSharding(mesh, P("kf"))
+        loops = LoopFactors(
+            i=jax.lax.with_sharding_constraint(loops.i, shard_l),
+            j=jax.lax.with_sharding_constraint(loops.j, shard_l),
+            z=jax.lax.with_sharding_constraint(
+                loops.z, NamedSharding(mesh, P("kf", None, None))),
+            count=loops.count)
     if free_edges is None:
         free_edges = jnp.zeros((0,), jnp.int32)
     F = free_edges.shape[0]
@@ -186,6 +204,10 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
                 mask_i[:, None, :, None] +
                 jnp.einsum("lab,kbc->lakc", Qj, Psi) *
                 mask_j[:, None, :, None])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            Ghat = jax.lax.with_sharding_constraint(
+                Ghat, NamedSharding(mesh, P("kf", None, None, None)))
         G2 = Ghat.reshape(6 * L, 6 * K)
 
         # ---- normal equations in w: (Lambda + G^T G) w = -(Lambda r + G^T rl)

@@ -39,9 +39,11 @@ def test_odometry_recovers_motion(seq):
         dR = se3.rotation_angle(jnp.asarray(
             T_gt[:3, :3].T @ T_est[:3, :3], jnp.float32))
         # Tiny 16x128 grid (2.8deg azimuth) floor; the full-size OS1-64
-        # config tracks at ~cm (ATE 0.04 m over 25 scans, see bench).
-        assert dt < 0.12, f"frame {i}: trans err {dt}"
-        assert float(dR) < 0.03, f"frame {i}: rot err {float(dR)}"
+        # config tracks at ~cm (see bench).  Current worst-case on this
+        # fixture: dt 0.087, dR 0.008 — bounds sit ~30% above as a
+        # regression guard, not a smoke floor.
+        assert dt < 0.1, f"frame {i}: trans err {dt}"
+        assert float(dR) < 0.012, f"frame {i}: rot err {float(dR)}"
 
 
 def test_odometry_stationary(seq):

@@ -81,12 +81,16 @@ def test_distributed_posegraph_matches_single_device(mesh8):
     ref = posegraph.solve(cfg, jnp.asarray(poses6), jnp.int32(n),
                           jnp.asarray(odom_z), loops)
 
-    fi, fj, Z, sqrtw, f_ok, is_loop = posegraph_dist.build_factor_table(
-        cfg, jnp.int32(n), jnp.asarray(odom_z), loops,
-        pad_to_multiple=mesh8.shape["kf"])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard_l = NamedSharding(mesh8, P("kf"))
+    loops_sharded = posegraph.LoopFactors(
+        i=jax.device_put(loops.i, shard_l),
+        j=jax.device_put(loops.j, shard_l),
+        z=jax.device_put(loops.z, NamedSharding(mesh8, P("kf", None, None))),
+        count=loops.count)
     out = posegraph_dist.solve_dist(
         cfg, mesh8, jnp.asarray(poses6), jnp.int32(n),
-        fi, fj, Z, sqrtw, f_ok, is_loop)
+        jnp.asarray(odom_z), loops_sharded)
 
     np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref)[:n],
                                atol=5e-3)

@@ -26,8 +26,9 @@ def test_engine_tracks_straight_motion(run_result):
     est = engine.trajectory_array()
     assert np.isfinite(est).all()
     ate = evaluate.ate_rmse(est, gt[:len(est)])
-    # Tiny-sensor floor; full-size OS1-64 reaches ATE ~0.04 m (bench).
-    assert ate < 0.8, f"ATE {ate}"
+    # Regression bound ~3x the current value (ATE ~0.07 m on this fixture;
+    # full-size OS1-64 reaches ~0.06 m over 240 scans, see bench).
+    assert ate < 0.25, f"ATE {ate}"
     # Moved roughly the right distance (tiny-sensor floor; see bench for
     # the full-size accuracy).
     d_est = np.linalg.norm(est[-1][:3, 3] - est[0][:3, 3])
