@@ -133,13 +133,19 @@ def _suppress_positions(col, idx, count, feat: FeatureConfig):
 
 
 def _onehot_mark(W, pos, mask):
-    """Dense equivalent of scattering ``mask`` at columns ``pos``:
-    out[h,w] = any_{s,o}(pos[h,s,o]==w & mask[h,s,o]).  TPU scatters
-    serialize; this is a few broadcast compares + a reduction on the VPU.
+    """Scatter ``mask`` at columns ``pos``: out[h,w] = any_{s,o}
+    (pos[h,s,o]==w & mask[h,s,o]).  One tiny scatter per ring, vmapped over
+    rings (H-way parallel; each scatter is ~S*O updates) — ~4x cheaper than
+    the dense (H,S,O,W) broadcast-compare this replaces, which burned
+    ~4 MB of VPU compares per call inside the feature-picking fori_loop.
     pos/mask: (H,S,O) -> (H,W) bool."""
-    cols = jnp.arange(W, dtype=pos.dtype)
-    hit = (pos[..., None] == cols) & mask[..., None]     # (H,S,O,W)
-    return jnp.any(hit, axis=(1, 2))
+    H = pos.shape[0]
+    flat_pos = pos.reshape(H, -1)
+    flat_mask = mask.reshape(H, -1)
+    return jax.vmap(
+        lambda p, m: jnp.zeros((W,), bool).at[jnp.where(m, p, W)].set(
+            True, mode="drop")
+    )(flat_pos, flat_mask)
 
 
 def extract(cloud: SegmentedCloud, feat: FeatureConfig,

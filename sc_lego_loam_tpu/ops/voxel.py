@@ -120,10 +120,17 @@ def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     T = 1 << table_bits
     v = jnp.floor(points / leaf).astype(jnp.int32)
     h = (v[:, 0] * 73856093) ^ (v[:, 1] * 19349669) ^ (v[:, 2] * 83492791)
-    bucket = (h & (T - 1)).astype(jnp.int32)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    winner = jnp.full((T,), n, jnp.int32).at[
-        jnp.where(mask, bucket, 0)].min(jnp.where(mask, idx, n), mode="drop")
+    bucket = jnp.where(mask, (h & (T - 1)).astype(jnp.int32), 0)
+    idx = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n)
+    # Chunked scatter-min (TPU scatters serialize over colliding updates;
+    # C independent chunk scatters + one min-reduce run C-way parallel —
+    # this call sees ~1e6 updates per submap rebuild).
+    C = 16
+    while n % C:
+        C //= 2
+    winner = jax.vmap(
+        lambda b, i: jnp.full((T,), n, jnp.int32).at[b].min(i, mode="drop")
+    )(bucket.reshape(C, -1), idx.reshape(C, -1)).min(0)
     occupied = winner < n
     # Compact occupied buckets to the fixed-size output (sort-free).
     from .compact import compact_indices

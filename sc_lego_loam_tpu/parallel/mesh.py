@@ -19,6 +19,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host bring-up: initialize jax.distributed so jax.devices()
+    spans every host's chips, then build meshes as usual (collectives ride
+    ICI within a slice, DCN across slices — the multi-host configs of
+    BASELINE.json).
+
+    With no arguments the standard env vars apply
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    TPU pod auto-detection).  Safe to call on a single host: if no
+    coordinator is configured it is a no-op.  Returns the global device
+    count.
+    """
+    coordinator = coordinator or __import__("os").environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator is not None or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes, process_id=process_id)
+    return len(jax.devices())
+
+
 def make_mesh(n_kf: int | None = None, n_seq: int = 1,
               devices=None) -> Mesh:
     if devices is None:
