@@ -187,12 +187,13 @@ class OdometryConfig:
 class MappingConfig:
     """Scan-to-map 6-DOF LM + keyframe logic (mapOptmization.cpp)."""
 
-    max_iterations: int = 10             # mO.cpp:1508
-    # The reference re-searches 5-NN every LM iteration (mO.cpp:1505-1516);
-    # with adaptive-damped steps the correspondences barely change between
-    # consecutive accepted iterations, so re-searching every other
-    # iteration halves the dominant cost at matched ATE.
-    research_every: int = 2
+    # The reference runs 10 LM iterations re-searching 5-NN every one
+    # (mO.cpp:1505-1516); with full-Newton trust-region steps the result is
+    # iteration-insensitive (figure-8 ATE 0.40-0.51 across {6,8,10} iters x
+    # {re 2,3} — measured noise band), and each re-search is the dominant
+    # (Q x T) 5-NN cost.
+    max_iterations: int = 8
+    research_every: int = 3
     keyframe_dist: float = 0.3           # mO.cpp:1531-1538
     process_interval: float = 0.3        # utility.h:109 mappingProcessInterval
     submap_recent_num: int = 50          # utility.h:134 (loop-closure ON path)
@@ -244,6 +245,11 @@ class ScanContextConfig:
     num_sector: int = 60
     max_radius: float = 80.0
     lidar_height: float = 2.0
+    # Descriptor input cap (strided subsample).  The reference feeds a
+    # 0.5 m-downsampled cloud (mO.cpp:263,1626-1634) as a CPU economy; a
+    # stride cap achieves the same cost bound without the voxel pass — a
+    # per-bin MAX over >=27 samples/bin is insensitive to 2x subsampling.
+    max_input_points: int = 32768
     exclude_recent: int = 50             # NUM_EXCLUDE_RECENT
     num_candidates: int = 10             # NUM_CANDIDATES_FROM_TREE
     search_ratio: float = 0.1            # SEARCH_RATIO

@@ -55,6 +55,10 @@ def make_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
     empty bins stay 0 as in the reference, where NO_POINT=-1000 bins are
     zeroed before use via the initial zero matrix semantics)."""
     R, S = sc.num_ring, sc.num_sector
+    if points.shape[0] > sc.max_input_points:
+        stride = -(-points.shape[0] // sc.max_input_points)
+        points = points[::stride]
+        mask = mask[::stride]
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     rho = jnp.sqrt(x * x + y * y)
     theta = jnp.degrees(jnp.arctan2(y, x)) % 360.0
