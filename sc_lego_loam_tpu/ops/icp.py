@@ -21,14 +21,21 @@ from . import pallas_knn
 from ..utils import se3
 
 
-def _nn1(p, dst, dst_mask):
-    """1-NN dispatch: fused Pallas kernel on TPU, XLA tiles elsewhere.
-    max_sq_dist 64 keeps quantization fine enough for the fitness gate."""
+def _make_nn1(dst, dst_mask):
+    """1-NN closure: fused Pallas kernel on TPU (loop-invariant target prep
+    hoisted — the (T,3) transpose dominates a single query), XLA elsewhere.
+    max_sq_dist 64 keeps quantization fine enough for the fitness gate;
+    1-NN through the chunk-candidate kernel is exact."""
     if jax.default_backend() == "tpu":
-        idx, sqd = pallas_knn.knn_pallas(p, dst, dst_mask, k=1,
-                                         max_sq_dist=64.0)
-        return idx[:, 0], sqd[:, 0]
-    return nn1(p, dst, dst_mask)
+        tpad, tt = pallas_knn.prepare_targets(dst, dst_mask)
+
+        def nn(p):
+            idx, sqd = pallas_knn.knn_pallas_prepared(p, tpad, tt, k=1,
+                                                      max_sq_dist=64.0)
+            return idx[:, 0], sqd[:, 0]
+
+        return nn
+    return lambda p: nn1(p, dst, dst_mask)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -40,11 +47,12 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
     lcfg = config.loop
     if T0 is None:
         T0 = jnp.eye(4, dtype=jnp.float32)
+    nn = _make_nn1(dst, dst_mask)
 
     def body(state):
         T, it, done = state
         p = se3.transform_points(T, src[None])[0]
-        idx, sqd = _nn1(p, dst, dst_mask)
+        idx, sqd = nn(p)
         w = src_mask.astype(jnp.float32)
         dT = se3.best_fit_transform(p, dst[idx], w)
         T_new = dT @ T
@@ -60,7 +68,7 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
         cond, body, (T0, jnp.int32(0), jnp.bool_(False)))
 
     p = se3.transform_points(T, src[None])[0]
-    _, sqd = _nn1(p, dst, dst_mask)
+    _, sqd = nn(p)
     w = src_mask.astype(jnp.float32)
     fitness = (sqd * w).sum() / jnp.maximum(w.sum(), 1.0)
     return T, fitness

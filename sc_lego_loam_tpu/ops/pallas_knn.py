@@ -2,19 +2,26 @@
 (SURVEY.md C13: "batched k-NN ... this is the hot loop of the whole
 system").
 
-The XLA path (ops/knn.py) materializes 134 MB distance blocks in HBM and
-runs a separate top-k pass (~40 ms at 12k x 65k).  This kernel keeps
-everything in VMEM: the full target set (8 x T layout, <=2 MB) stays
-resident; each program owns a query tile, streams target blocks through
-the MXU, packs (quantized distance | target index) into one int32 key,
-extracts each block's top-k with k min+mask sweeps, and folds them into a
-running best-8 buffer.  Every global top-5 neighbor is necessarily within
-its own block's top-5, so the final 8-slot buffer contains the exact
-top-5 (up to distance quantization, which only affects tie order — the
-consumers gate on distance and gather points by index).
+Design (v2, chunk-candidate selection): each grid cell owns a (query tile
+x target block) pair; it streams the target block through the MXU, packs
+(quantized distance | target index) into one int32 key, and writes only
+the per-128-lane-chunk MINIMUM keys.  A cheap XLA `top_k` epilogue then
+selects the best k chunk-minima per query and unpacks index/distance.
+
+Why this is sound: the global nearest neighbor is always a chunk minimum
+(exact top-1).  For k>1 the candidate set misses a true neighbor only if
+two of the true top-k fall in the SAME 128-wide chunk — and every caller
+feeds voxel-hash-ordered targets (ops/voxel.py bucket order), which
+scatters spatial neighbors across memory uniformly: collision probability
+is ~C(k,2)*128/T (~4% per query at k=5, T=64k), and a collision merely
+replaces the 5th neighbor with the 6th in a distance-gated 5-point fit.
+
+Versus the previous exact kernel (k sequential min+mask sweeps per block,
+~20 VPU ops/element): this touches each element ~6 times, ~4x faster, and
+the selection work drops from O(k Q T) to O(k Q T/128).
 
 HBM traffic: targets read once per query tile (~38 MB total at 12k
-queries) instead of ~10 GB of distance-matrix spill.
+queries) instead of ~10 GB of distance-matrix spill via the XLA path.
 """
 
 from __future__ import annotations
@@ -26,45 +33,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SLOTS = 8          # running-best buffer width (>= k, power of two)
+_CHUNK = 128        # lanes per candidate chunk (one chunk-min key each)
 _IDX_BITS = 17      # supports T up to 131072
 _IDX_MASK = (1 << _IDX_BITS) - 1
 _MAXKEY = 2 ** 31 - 1   # python int: jnp constants get captured by pallas
 
 
-def _kernel(q_ref, t_ref, tt_ref, out_d_ref, out_i_ref, *, n_blocks,
-            block_t, k, scale):
+def _kernel(q_ref, t_ref, tt_ref, out_ref, *, block_t, scale):
     q = q_ref[:]                                   # (TQ, 8); cols 3..7 zero
     qq = jnp.sum(q * q, -1, keepdims=True)         # (TQ, 1)
     TQ = q.shape[0]
-
-    def block(j, best):
-        t = t_ref[:, pl.ds(j * block_t, block_t)]          # (8, BT)
-        tt = tt_ref[:, pl.ds(j * block_t, block_t)]        # (1, BT)
-        dots = jax.lax.dot_general(
-            q, t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (TQ, BT)
-        d = jnp.maximum(qq + tt - 2.0 * dots, 0.0)
-        dq = jnp.clip(d * scale, 0, float((1 << (31 - _IDX_BITS)) - 2)
-                      ).astype(jnp.int32)
-        gidx = j * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (TQ, block_t), 1)
-        key = (dq << _IDX_BITS) | (gidx & _IDX_MASK)
-
-        for _ in range(k):
-            m = jnp.min(key, -1, keepdims=True)            # (TQ, 1)
-            # Every key is distinct (unique index bits; sentinels are made
-            # distinct below), so the max slot is unique — no tie breaking.
-            worst = jnp.max(best, -1, keepdims=True)
-            best = jnp.where((best == worst) & (m < worst), m, best)
-            key = jnp.where(key == m, jnp.int32(_MAXKEY), key)
-        return best
-
-    best0 = (jnp.full((TQ, _SLOTS), _MAXKEY, jnp.int32) -
-             jax.lax.broadcasted_iota(jnp.int32, (TQ, _SLOTS), 1))
-    best = jax.lax.fori_loop(0, n_blocks, block, best0)
-    out_i_ref[:] = best & _IDX_MASK
-    out_d_ref[:] = (best >> _IDX_BITS).astype(jnp.float32) / scale
+    t = t_ref[:]                                   # (8, BT)
+    tt = tt_ref[:]                                 # (1, BT)
+    dots = jax.lax.dot_general(
+        q, t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (TQ, BT)
+    d = jnp.maximum(qq + tt - 2.0 * dots, 0.0)
+    dq = jnp.clip(d * scale, 0, float((1 << (31 - _IDX_BITS)) - 2)
+                  ).astype(jnp.int32)
+    j = pl.program_id(1)
+    gidx = j * block_t + jax.lax.broadcasted_iota(
+        jnp.int32, (TQ, block_t), 1)
+    key = (dq << _IDX_BITS) | (gidx & _IDX_MASK)
+    out_ref[:] = jnp.min(key.reshape(TQ, block_t // _CHUNK, _CHUNK), axis=2)
 
 
 def prepare_targets(target: jnp.ndarray, target_mask: jnp.ndarray):
@@ -83,9 +74,10 @@ def prepare_targets(target: jnp.ndarray, target_mask: jnp.ndarray):
                                     "interpret"))
 def knn_pallas(query: jnp.ndarray, target: jnp.ndarray,
                target_mask: jnp.ndarray, k: int = 5,
-               max_sq_dist: float = 4.0, tile_q: int = 256,
-               block_t: int = 2048, interpret: bool = False):
-    """Exact k-NN (k <= 5 recommended) via the fused kernel.
+               max_sq_dist: float = 4.0, tile_q: int = 64,
+               block_t: int = 16384, interpret: bool = False):
+    """k-NN (k <= 5 recommended) via the fused kernel; near-exact for
+    hash-ordered targets (see module docstring; top-1 always exact).
 
     query (Q,3), target (T,3) + mask. ``max_sq_dist`` sets the distance
     quantization range — distances beyond it saturate (callers gate far
@@ -102,46 +94,45 @@ def knn_pallas(query: jnp.ndarray, target: jnp.ndarray,
                                     "interpret"))
 def knn_pallas_prepared(query: jnp.ndarray, tpad: jnp.ndarray,
                         tt: jnp.ndarray, k: int = 5,
-                        max_sq_dist: float = 4.0, tile_q: int = 256,
-                        block_t: int = 2048, interpret: bool = False):
+                        max_sq_dist: float = 4.0, tile_q: int = 64,
+                        block_t: int = 16384, interpret: bool = False):
     Q = query.shape[0]
     T = tpad.shape[1]
+    block_t = min(block_t, T)  # Mosaic needs block_t/_CHUNK == 128 (the
+    # output lane tile) or == the whole output row; small-T cases only
+    # arise in interpret-mode tests.
     assert Q % tile_q == 0 and T % block_t == 0, (Q, T)
     assert T <= (1 << _IDX_BITS)
+    assert block_t % _CHUNK == 0
     scale = float((1 << (31 - _IDX_BITS)) - 4) / float(max_sq_dist)
 
     qpad = jnp.zeros((Q, 8), jnp.float32).at[:, :3].set(query)
+    n_chunks_blk = block_t // _CHUNK
 
-    grid = (Q // tile_q,)
-    out_d, out_i = pl.pallas_call(
-        functools.partial(_kernel, n_blocks=T // block_t, block_t=block_t,
-                          k=k, scale=scale),
+    grid = (Q // tile_q, T // block_t)
+    cmin = pl.pallas_call(
+        functools.partial(_kernel, block_t=block_t, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_q, 8), lambda i: (i, 0),
+            pl.BlockSpec((tile_q, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, T), lambda i: (0, 0),
+            pl.BlockSpec((8, block_t), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda i: (0, 0),
+            pl.BlockSpec((1, block_t), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tile_q, _SLOTS), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, _SLOTS), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Q, _SLOTS), jnp.float32),
-            jax.ShapeDtypeStruct((Q, _SLOTS), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((tile_q, n_chunks_blk), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, T // _CHUNK), jnp.int32),
         interpret=interpret,
     )(qpad, tpad, tt)
 
-    # The 8-slot buffer is unordered; take the k smallest.
-    neg, order = jax.lax.top_k(-out_d, k)
-    idx = jnp.take_along_axis(out_i, order, -1)
-    # Saturated slots (beyond max_sq_dist or empty) -> clamp index, flag
-    # with the saturated distance so caller gates reject them.
-    idx = jnp.clip(idx, 0, T - 1)
-    return idx, -neg
+    # Top-k chunk-minimum keys (ascending key = ascending distance).
+    if cmin.shape[1] < k:                          # tiny target sets
+        cmin = jnp.concatenate(
+            [cmin, jnp.full((Q, k), _MAXKEY, jnp.int32)], axis=1)
+    neg_keys, _ = jax.lax.top_k(-cmin, k)          # (Q, k)
+    best = -neg_keys
+    idx = jnp.clip(best & _IDX_MASK, 0, T - 1)
+    sqd = (best >> _IDX_BITS).astype(jnp.float32) / scale
+    return idx, sqd
