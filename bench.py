@@ -68,6 +68,11 @@ def main():
 
     est = engine.trajectory_array()
     ate = evaluate.ate_rmse(est, gt[:len(est)])
+    # Steady-state ATE over the timed region: the first scans carry a
+    # bootstrap transient (cold-start odometry at this sequence's 7 m/s
+    # per-scan motion) that dominates the full-run RMSE; fps is measured
+    # on the same post-warmup window.
+    ate_steady = evaluate.ate_rmse(est[WARMUP:], gt[WARMUP:len(est)])
 
     print(json.dumps({
         "metric": "frames_per_sec_full_pipeline",
@@ -77,6 +82,7 @@ def main():
         "extra": {
             "trajectory": TRAJ,
             "ate_rmse_m": round(ate, 4),
+            "ate_steady_m": round(ate_steady, 4),
             "scans": N_SCANS - WARMUP,
             "keyframes": int(engine.map.kf.count),
             "loops_closed": int(engine.state.loops_closed),
