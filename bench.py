@@ -26,6 +26,7 @@ N_SCANS = int(os.environ.get("BENCH_SCANS", "240"))
 # and the first loop-closure check (fires at check_every keyframes).
 WARMUP = int(os.environ.get("BENCH_WARMUP", "16"))
 TRAJ = os.environ.get("BENCH_TRAJ", "figure8")
+SEED = int(os.environ.get("BENCH_SEED", "11"))
 BASELINE_FPS = 10.0   # reference real-time rate (BASELINE.md)
 
 
@@ -47,7 +48,7 @@ def main():
         dict(step=0.4)
     scans, valids, gt = synthetic.make_sequence(
         cfg.lidar, N_SCANS, trajectory=TRAJ, noise=0.01,
-        seed=11, shuffle=False, **kw)    # beam-ordered, as real sensors emit
+        seed=SEED, shuffle=False, **kw)  # beam-ordered, as real sensors emit
 
     engine = SlamEngine(cfg)
     # Warmup: trigger every compile path (incl. mapping + the loop-closure

@@ -2,19 +2,22 @@
 (SURVEY.md C13: "batched k-NN ... this is the hot loop of the whole
 system").
 
-Design (v2, chunk-candidate selection): each grid cell owns a (query tile
+Design (v3, chunk-candidate selection): each grid cell owns a (query tile
 x target block) pair; it streams the target block through the MXU, packs
 (quantized distance | target index) into one int32 key, and writes only
-the per-128-lane-chunk MINIMUM keys.  A cheap XLA `top_k` epilogue then
-selects the best k chunk-minima per query and unpacks index/distance.
+the per-chunk MINIMUM keys, where chunk c = targets {c, c+128, c+256, ...}
+of the block (STRIDED membership — the reduction runs over the vreg axis
+with zero lane shuffles).  A cheap XLA `top_k` epilogue then selects the
+best k chunk-minima per query and unpacks index/distance.
 
 Why this is sound: the global nearest neighbor is always a chunk minimum
 (exact top-1).  For k>1 the candidate set misses a true neighbor only if
-two of the true top-k fall in the SAME 128-wide chunk — and every caller
-feeds voxel-hash-ordered targets (ops/voxel.py bucket order), which
-scatters spatial neighbors across memory uniformly: collision probability
-is ~C(k,2)*128/T (~4% per query at k=5, T=64k), and a collision merely
-replaces the 5th neighbor with the 6th in a distance-gated 5-point fit.
+two of the true top-k fall in the SAME chunk.  Strided membership puts
+memory-adjacent targets in DIFFERENT chunks, so for voxel-hash-ordered
+targets (ops/voxel.py bucket order — spatially scattered) the collision
+probability is ~C(k,2)*128/T (~4% per query at k=5, T=64k) and for
+spatially-contiguous orders it is even lower; a collision merely replaces
+the 5th neighbor with the 6th in a distance-gated 5-point fit.
 
 Versus the previous exact kernel (k sequential min+mask sweeps per block,
 ~20 VPU ops/element): this touches each element ~6 times, ~4x faster, and
@@ -55,7 +58,13 @@ def _kernel(q_ref, t_ref, tt_ref, out_ref, *, block_t, scale):
     gidx = j * block_t + jax.lax.broadcasted_iota(
         jnp.int32, (TQ, block_t), 1)
     key = (dq << _IDX_BITS) | (gidx & _IDX_MASK)
-    out_ref[:] = jnp.min(key.reshape(TQ, block_t // _CHUNK, _CHUNK), axis=2)
+    # STRIDED chunks: output lane l holds min over targets {l, 128+l, ...}
+    # within the block — a reduction over the middle (vreg) axis, which is
+    # pure element-wise vreg mins.  Reducing over the last axis instead
+    # (contiguous chunks) needs log2(128) in-register lane shuffles per
+    # vreg and measured ~10x slower.  Chunk membership is internal: the
+    # packed key carries the true target index, so callers are unaffected.
+    out_ref[:] = jnp.min(key.reshape(TQ, block_t // _CHUNK, _CHUNK), axis=1)
 
 
 def prepare_targets(target: jnp.ndarray, target_mask: jnp.ndarray):
@@ -98,17 +107,21 @@ def knn_pallas_prepared(query: jnp.ndarray, tpad: jnp.ndarray,
                         block_t: int = 16384, interpret: bool = False):
     Q = query.shape[0]
     T = tpad.shape[1]
-    block_t = min(block_t, T)  # Mosaic needs block_t/_CHUNK == 128 (the
-    # output lane tile) or == the whole output row; small-T cases only
-    # arise in interpret-mode tests.
-    assert Q % tile_q == 0 and T % block_t == 0, (Q, T)
+    # Largest block <= requested that divides T (T need not be a power of
+    # two: submaps are submap_recent_num x store-size unions).
+    block_t = min(block_t, T)
+    block_t -= block_t % _CHUNK
+    while block_t > _CHUNK and T % block_t:
+        block_t -= _CHUNK
+    assert Q % tile_q == 0 and T % block_t == 0, (Q, T, block_t)
     assert T <= (1 << _IDX_BITS)
     assert block_t % _CHUNK == 0
     scale = float((1 << (31 - _IDX_BITS)) - 4) / float(max_sq_dist)
 
     qpad = jnp.zeros((Q, 8), jnp.float32).at[:, :3].set(query)
-    n_chunks_blk = block_t // _CHUNK
 
+    # Strided chunks: each block yields _CHUNK (=128, one per lane) minima,
+    # each over block_t/_CHUNK members.
     grid = (Q // tile_q, T // block_t)
     cmin = pl.pallas_call(
         functools.partial(_kernel, block_t=block_t, scale=scale),
@@ -121,18 +134,26 @@ def knn_pallas_prepared(query: jnp.ndarray, tpad: jnp.ndarray,
             pl.BlockSpec((1, block_t), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_q, n_chunks_blk), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tile_q, _CHUNK), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, T // _CHUNK), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, (T // block_t) * _CHUNK),
+                                       jnp.int32),
         interpret=interpret,
     )(qpad, tpad, tt)
 
     # Top-k chunk-minimum keys (ascending key = ascending distance).
+    # k iterative masked mins instead of lax.top_k: top_k lowers to a full
+    # sort of the (Q, n_chunks) key matrix on TPU (log^2 n bitonic passes
+    # of the whole array); k<=5 min+mask sweeps touch it only 2k times.
     if cmin.shape[1] < k:                          # tiny target sets
         cmin = jnp.concatenate(
             [cmin, jnp.full((Q, k), _MAXKEY, jnp.int32)], axis=1)
-    neg_keys, _ = jax.lax.top_k(-cmin, k)          # (Q, k)
-    best = -neg_keys
+    cols = []
+    for _ in range(k):
+        m = jnp.min(cmin, axis=1, keepdims=True)   # (Q, 1)
+        cols.append(m[:, 0])
+        cmin = jnp.where(cmin == m, _MAXKEY, cmin)
+    best = jnp.stack(cols, axis=1)                 # (Q, k)
     idx = jnp.clip(best & _IDX_MASK, 0, T - 1)
     sqd = (best >> _IDX_BITS).astype(jnp.float32) / scale
     return idx, sqd

@@ -105,6 +105,34 @@ def voxel_downsample_hash(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     return out, ok, None
 
 
+def thin_group(points: jnp.ndarray, mask: jnp.ndarray, out_pad: int):
+    """Bounded uniform decimation: split the padded cloud into ``out_pad``
+    contiguous groups and keep the first valid point of each.
+
+    All callers feed hash-scattered (voxel_downsample_hash) or
+    ring-interleaved orders, where memory-adjacent points are spatially
+    spread — so group-pick-1 approximates a uniform spatial subsample at
+    reshape+argmax cost (no scatters, no sort).  Used to bound NN-target
+    sizes (keyframe store thinning, history submaps), where exact voxel
+    decimation buys nothing: the consumer is a distance-gated 5-point fit.
+    """
+    n = points.shape[0]
+    if n <= out_pad:
+        pad = out_pad - n
+        return (jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)]),
+                jnp.concatenate([mask, jnp.zeros((pad,), bool)]))
+    g = -(-n // out_pad)
+    pad = g * out_pad - n
+    p = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)])
+    mk = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    pg = p.reshape(out_pad, g, 3)
+    mg = mk.reshape(out_pad, g)
+    sel = jnp.argmax(mg, -1)
+    ok = jnp.take_along_axis(mg, sel[:, None], 1)[:, 0]
+    out = jnp.take_along_axis(pg, sel[:, None, None], 1)[:, 0]
+    return jnp.where(ok[:, None], out, 0.0), ok
+
+
 def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
                    out_pad: int, table_bits: int = 18):
     """O(n) voxel decimation: keep ONE representative point per voxel via a

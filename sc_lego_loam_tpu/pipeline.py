@@ -307,6 +307,11 @@ class SlamEngine:
         self.timer = StageTimer()  # per-stage wall clock (SURVEY.md par.5)
         self._scans_fed = 0
         self._warned_kf_cap = False
+        self._warned_loop_cap = False
+        # Cap-overflow checks force a host sync (~ms on this runtime), so
+        # they run on a cadence instead of per scan; the warning fires
+        # within cap_check_every scans of the overflowing insert.
+        self.cap_check_every = 256
 
     # ------------------------------------------------------------------ #
     # Device-state views (kept for the export/checkpoint API and tests).
@@ -381,21 +386,35 @@ class SlamEngine:
             self.state, fused = engine_step(
                 cfg, self.state, points, mask, jnp.float32(t),
                 jnp.bool_(do_mapping))
+        if self._scans_fed % self.cap_check_every == 0:
+            self._check_caps()
         return fused
+
+    def _check_caps(self):
+        """Warn (once each) when the keyframe bank or loop-factor bank hit
+        capacity — past the cap new inserts overwrite the last slot."""
+        import warnings
+        if not self._warned_kf_cap and \
+                int(self.state.map.kf.count) >= self.config.cap.max_keyframes:
+            warnings.warn(
+                f"keyframe bank full ({self.config.cap.max_keyframes}): new "
+                "keyframes overwrite the last slot; raise "
+                "CapacityConfig.max_keyframes", RuntimeWarning)
+            self._warned_kf_cap = True
+        if not self._warned_loop_cap and \
+                int(self.state.loops.count) >= self.config.posegraph.max_loops:
+            warnings.warn(
+                f"loop-factor bank full ({self.config.posegraph.max_loops}): "
+                "new loop factors overwrite the last slot; raise "
+                "PoseGraphConfig.max_loops", RuntimeWarning)
+            self._warned_loop_cap = True
 
     # ------------------------------------------------------------------ #
 
     def trajectory_array(self):
         """(N,4,4) fused trajectory so far (one device sync)."""
         n = int(self.state.scan_i)
-        if not self._warned_kf_cap and \
-                int(self.state.map.kf.count) >= self.config.cap.max_keyframes:
-            import warnings
-            warnings.warn(
-                f"keyframe bank full ({self.config.cap.max_keyframes}): new "
-                "keyframes overwrite the last slot; raise "
-                "CapacityConfig.max_keyframes", RuntimeWarning)
-            self._warned_kf_cap = True
+        self._check_caps()
         return np.asarray(self.state.traj[:n])
 
     def trajectory_times(self):

@@ -74,15 +74,18 @@ def beam_directions(lidar: LidarConfig) -> np.ndarray:
 
 
 def _ray_ground(o, d, ground_z):
+    """o: (3,) or (...,3) broadcastable to d's batch shape; d: (...,3)."""
+    o = np.broadcast_to(o, d.shape)
     dz = d[..., 2]
-    t = (ground_z - o[2]) / np.where(np.abs(dz) < 1e-12, 1e-12, dz)
+    t = (ground_z - o[..., 2]) / np.where(np.abs(dz) < 1e-12, 1e-12, dz)
     return np.where((dz < -1e-9) & (t > 0), t, _INF)
 
 
 def _ray_boxes(o, d, boxes):
-    """Slab method, vectorized over rays x boxes. o:(3,), d:(...,3)."""
+    """Slab method, vectorized over rays x boxes. o:(...,3), d:(...,3)."""
     if boxes.shape[0] == 0:
         return np.full(d.shape[:-1], _INF)
+    o = np.broadcast_to(o, d.shape)[..., None, :]   # (...,1,3)
     lo = boxes[:, :3]
     hi = boxes[:, 3:]
     dd = d[..., None, :]  # (...,1,3)
@@ -98,9 +101,11 @@ def _ray_boxes(o, d, boxes):
 def _ray_cylinders(o, d, cyls):
     if cyls.shape[0] == 0:
         return np.full(d.shape[:-1], _INF)
+    o = np.broadcast_to(o, d.shape)
     cx, cy, r, h = cyls[:, 0], cyls[:, 1], cyls[:, 2], cyls[:, 3]
     dx, dy, dz = d[..., 0:1], d[..., 1:2], d[..., 2:3]
-    ox, oy = o[0] - cx, o[1] - cy
+    ox = o[..., 0:1] - cx
+    oy = o[..., 1:2] - cy
     a = dx * dx + dy * dy
     b = 2 * (dx * ox + dy * oy)
     c = ox * ox + oy * oy - r * r
@@ -108,7 +113,7 @@ def _ray_cylinders(o, d, cyls):
     ok = disc > 0
     sq = np.sqrt(np.maximum(disc, 0))
     t = (-b - sq) / np.where(np.abs(a) < 1e-12, 1e-12, 2 * a)
-    z = o[2] + t * dz
+    z = o[..., 2:3] + t * dz
     hit = ok & (t > 0) & (z >= 0) & (z <= h)
     return np.where(hit, t, _INF).min(-1)
 
@@ -137,6 +142,67 @@ def raycast(world: World, pose: np.ndarray, lidar: LidarConfig,
     if drop_rate > 0:
         valid &= rng.random(t.shape) > drop_rate
     pts = dirs_s * np.where(valid, t, 0.0)[..., None]
+    return pts.reshape(-1, 3).astype(np.float32), valid.reshape(-1)
+
+
+def _so3_log(R):
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(tr)
+    if th < 1e-9:
+        return np.zeros(3)
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return th / (2.0 * np.sin(th)) * w
+
+
+def _so3_exp(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def raycast_skewed(world: World, pose0: np.ndarray, pose1: np.ndarray,
+                   lidar: LidarConfig, noise: float = 0.0, rng=None):
+    """Raycast one MOTION-DISTORTED scan: each azimuth column c is captured
+    from the pose interpolated at fraction c/W along pose0 -> pose1 (the
+    intra-scan sweep), and its returns are expressed in THAT column's
+    sensor frame — exactly the skew a spinning lidar produces and the
+    reference undoes via TransformToStart (fA.cpp:860-883).
+
+    Points are emitted in CAPTURE ORDER (column-major: all beams of
+    azimuth column 0 first, then column 1, ...), matching real
+    spinning-lidar packet order — the engine's azimuth-span rel_time
+    (ops/projection.py) anchors the sweep at the FIRST point's azimuth,
+    so the first array entries must be the earliest-captured columns.
+
+    Returns (points (n_scan*horizon,3) capture-ordered, valid)."""
+    W = lidar.horizon_scan
+    dirs_s = beam_directions(lidar)                       # (H,W,3)
+    w_rel = _so3_log(pose0[:3, :3].T @ pose1[:3, :3])
+    fracs = np.arange(W) / W
+    # Per-column world pose (rotation exp-interp, translation lerp).
+    R0 = pose0[:3, :3]
+    Rc = np.stack([R0 @ _so3_exp(f * w_rel) for f in fracs])   # (W,3,3)
+    pc = pose0[:3, 3][None] * (1 - fracs[:, None]) + \
+        pose1[:3, 3][None] * fracs[:, None]               # (W,3)
+    # World-frame ray dirs: dirs_w[h,c] = Rc[c] @ dirs_s[h,c]
+    dirs_w = np.einsum("cij,hcj->hci", Rc, dirs_s)
+    origins = np.broadcast_to(pc[None], dirs_w.shape)
+    t = np.minimum.reduce([
+        _ray_ground(origins, dirs_w, world.ground_z),
+        _ray_boxes(origins, dirs_w, world.boxes),
+        _ray_cylinders(origins, dirs_w, world.cylinders),
+    ])
+    valid = (t > lidar.min_range) & (t < min(lidar.max_range, 1e8))
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if noise > 0:
+        t = t + rng.normal(0, noise, t.shape)
+    pts = dirs_s * np.where(valid, t, 0.0)[..., None]
+    pts = np.swapaxes(pts, 0, 1)        # (W,H,3): capture order
+    valid = np.swapaxes(valid, 0, 1)
     return pts.reshape(-1, 3).astype(np.float32), valid.reshape(-1)
 
 
@@ -181,26 +247,38 @@ def straight_trajectory(n_poses: int, step: float = 0.4, height: float = 2.0,
 
 def make_sequence(lidar: LidarConfig, n_scans: int, *, seed: int = 0,
                   trajectory: str = "straight", noise: float = 0.01,
-                  shuffle: bool = True, **traj_kw):
+                  shuffle: bool = True, skew: bool = False, **traj_kw):
     """Generate a full synthetic sequence.
+
+    ``skew=True`` emits motion-distorted scans (each azimuth column
+    raycast from its capture-time pose, see raycast_skewed) — the input
+    the real-data deskew path (OdometryConfig.deskew=True) expects.
+    Ground truth for scan i is then its SCAN-END pose (odometry tracks
+    scan-end frames, TransformToEnd fA.cpp:885-953).
 
     Returns (scans, valids, poses): scans (n, N, 3) sensor-frame clouds,
     valids (n, N) masks, poses (n, 4, 4) ground-truth world-from-sensor.
     """
     world = default_world(seed=seed)
+    n_gen = n_scans + 1 if skew else n_scans
     if trajectory == "straight":
-        poses = straight_trajectory(n_scans, **traj_kw)
+        poses = straight_trajectory(n_gen, **traj_kw)
     elif trajectory == "figure8":
-        poses = figure8_trajectory(n_scans, **traj_kw)
+        poses = figure8_trajectory(n_gen, **traj_kw)
     else:
         raise ValueError(trajectory)
     rng = np.random.default_rng(seed + 1)
     scans, valids = [], []
     for i in range(n_scans):
-        pts, valid = raycast(world, poses[i], lidar, noise=noise, rng=rng)
+        if skew:
+            pts, valid = raycast_skewed(world, poses[i], poses[i + 1],
+                                        lidar, noise=noise, rng=rng)
+        else:
+            pts, valid = raycast(world, poses[i], lidar, noise=noise, rng=rng)
         if shuffle:
             perm = rng.permutation(pts.shape[0])
             pts, valid = pts[perm], valid[perm]
         scans.append(pts)
         valids.append(valid)
-    return np.stack(scans), np.stack(valids), poses.astype(np.float32)
+    gt = poses[1:n_scans + 1] if skew else poses
+    return np.stack(scans), np.stack(valids), gt.astype(np.float32)

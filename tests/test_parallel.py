@@ -9,7 +9,7 @@ from sc_lego_loam_tpu.config import tiny_test_config
 from sc_lego_loam_tpu.models import scan_context as sc
 from sc_lego_loam_tpu import posegraph
 from sc_lego_loam_tpu.parallel import mesh as mesh_mod
-from sc_lego_loam_tpu.parallel import posegraph_dist, retrieval
+from sc_lego_loam_tpu.parallel import retrieval
 
 
 @pytest.fixture(scope="module")
@@ -88,9 +88,9 @@ def test_distributed_posegraph_matches_single_device(mesh8):
         j=jax.device_put(loops.j, shard_l),
         z=jax.device_put(loops.z, NamedSharding(mesh8, P("kf", None, None))),
         count=loops.count)
-    out = posegraph_dist.solve_dist(
-        cfg, mesh8, jnp.asarray(poses6), jnp.int32(n),
-        jnp.asarray(odom_z), loops_sharded)
+    out = posegraph.solve(
+        cfg, jnp.asarray(poses6), jnp.int32(n),
+        jnp.asarray(odom_z), loops_sharded, mesh=mesh8)
 
     np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref)[:n],
                                atol=5e-3)

@@ -62,8 +62,9 @@ def test_map_export(tmp_path, run_result):
     from sc_lego_loam_tpu.utils import export
     pts = export.global_map_points(engine)
     assert len(pts) > 100
+    n = min(500, len(pts))
     ply = str(tmp_path / "map.ply")
-    export.save_ply(ply, pts[:500])
+    export.save_ply(ply, pts[:n])
     with open(ply) as f:
         head = f.read(200)
-    assert "element vertex 500" in head
+    assert f"element vertex {n}" in head

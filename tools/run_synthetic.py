@@ -28,6 +28,10 @@ def main():
                     choices=["tiny", "os1-64", "vlp-16"])
     ap.add_argument("--platform", default=None)
     ap.add_argument("--step", type=float, default=0.4)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--skew", action="store_true",
+                    help="motion-distorted scans + deskew=True odometry "
+                    "(the real-data / MulRan code path)")
     ap.add_argument("--export", default=None,
                     help="optional path prefix for map/trajectory export")
     args = ap.parse_args()
@@ -58,14 +62,22 @@ def main():
                                 eig_threshold=2.0))
     else:
         cfg = synthetic_config()
+    if args.skew:
+        # The mulran_engine_config semantics: unordered scatter projection
+        # + motion-interpolated de-skew on genuinely distorted scans.
+        cfg = cfg.replace(
+            lidar=dataclasses.replace(cfg.lidar, ordered=False),
+            odom=dataclasses.replace(cfg.odom, deskew=True))
 
     print(f"generating {args.scans}-scan synthetic sequence "
-          f"({cfg.lidar.name}, {args.traj})...", flush=True)
+          f"({cfg.lidar.name}, {args.traj}{', skewed' if args.skew else ''})"
+          "...", flush=True)
     kw = dict(step=args.step) if args.traj == "straight" else dict(
         radius=30.0, loops=1.05)
     scans, valids, gt = synthetic.make_sequence(
-        cfg.lidar, args.scans, trajectory=args.traj, noise=0.01, seed=7,
-        shuffle=not cfg.lidar.ordered, **kw)
+        cfg.lidar, args.scans, trajectory=args.traj, noise=0.01,
+        seed=args.seed, shuffle=False if args.skew else not cfg.lidar.ordered,
+        skew=args.skew, **kw)
 
     engine = SlamEngine(cfg)
     t0 = time.time()
