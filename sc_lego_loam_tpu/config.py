@@ -310,30 +310,19 @@ class CapacityConfig:
     # Per-scan feature pads (post extraction / downsample).
     sharp_pad: int = 1024                # <= 2*6*n_scan = 768 for 64 rings
     flat_pad: int = 2048                 # <= 4*6*64 = 1536
-    # less_sharp/less_flat are RING-BLOCKED (ops/features.py): pad must be
-    # a multiple of n_scan; per-ring capacity = pad // n_scan (<= 256).
-    less_sharp_pad: int = 8192           # 64 rings x 128 (<= 20*6 = 120/ring)
-    less_flat_pad: int = 8192            # 64 rings x 128, per-ring decimated
+    less_sharp_pad: int = 4096           # <= 20*6*64 (pre-DS) -> DS'd
+    less_flat_pad: int = 8192            # less-flat after 0.2 voxel DS
     outlier_pad: int = 4096              # outlier cloud after DS
-    # Current-scan pads (post mapping-side voxel DS; the scan-to-map QUERY
-    # clouds, mO.cpp:1233-1263).
+    # Keyframe-store pads (post mapping-side voxel DS).
     kf_corner_pad: int = 2048
     kf_surf_pad: int = 8192
     kf_outlier_pad: int = 4096
-    # Per-keyframe STORE sizes: what the bank keeps per keyframe, thinned
-    # from the scan pads at insert time (ops/voxel.thin_group).  Sized so
-    # the submap (submap_recent_num x store) and history submaps reach the
-    # same total NN-target density the reference's voxel-DS'd submaps have
-    # (mO.cpp:1223-1230) WITHOUT any per-rebuild decimation pass — the
-    # submap becomes a pure gather+transform — and so the bank stays small
-    # enough to scale to MulRan-DCC keyframe counts (~16k) on one chip.
-    # Must divide the corresponding kf_*_pad.
-    kf_store_corner: int = 512
-    kf_store_surf: int = 1024
-    kf_store_outlier: int = 256
-    # Loop-closure history submap pad (thinned union of +-history_num
-    # keyframe stores).
+    # Submap pads (union of submap_recent_num keyframes, post voxel DS).
+    submap_corner_pad: int = 16384
+    submap_surf_pad: int = 65536
+    # Loop-closure history submap pad.
     history_pad: int = 32768
+    icp_query_pad: int = 8192
     # Scan Context input cloud pad (raw cloud after 0.5 m DS).
     sc_cloud_pad: int = 16384
 
@@ -369,8 +358,8 @@ def vlp16_config() -> PipelineConfig:
             sharp_pad=256, flat_pad=512, less_sharp_pad=2048,
             less_flat_pad=4096, outlier_pad=2048,
             kf_corner_pad=1024, kf_surf_pad=4096, kf_outlier_pad=2048,
-            kf_store_corner=256, kf_store_surf=512, kf_store_outlier=128,
-            history_pad=16384, sc_cloud_pad=8192,
+            submap_corner_pad=8192, submap_surf_pad=32768,
+            history_pad=16384, icp_query_pad=4096, sc_cloud_pad=8192,
         ),
     )
 
@@ -409,7 +398,7 @@ def tiny_test_config() -> PipelineConfig:
             sharp_pad=256, flat_pad=512, less_sharp_pad=1024,
             less_flat_pad=2048, outlier_pad=1024,
             kf_corner_pad=512, kf_surf_pad=2048, kf_outlier_pad=1024,
-            kf_store_corner=128, kf_store_surf=256, kf_store_outlier=64,
-            history_pad=8192, sc_cloud_pad=4096,
+            submap_corner_pad=4096, submap_surf_pad=8192,
+            history_pad=8192, icp_query_pad=2048, sc_cloud_pad=4096,
         ),
     )

@@ -54,11 +54,11 @@ def detect_radius(config: PipelineConfig, kf: KeyframeStore,
 @functools.partial(jax.jit, static_argnums=0)
 def history_submap(config: PipelineConfig, kf: KeyframeStore,
                    center: jnp.ndarray):
-    """World-frame submap of +-history_num keyframe STORE clouds around
-    ``center`` (mO.cpp:896-903; the reference's history_leaf voxel DS
-    becomes a bounded group-thin — the stores are pre-thinned, so this
-    only caps the union to the pad)."""
+    """World-frame submap of +-history_num keyframes around ``center``,
+    voxel-downsampled (mO.cpp:896-903, leaf history_leaf).
+    Returns (pts (history_pad,3), mask)."""
     cap, lcfg = config.cap, config.loop
+    n = 2 * lcfg.history_num + 1
     idx = center + jnp.arange(-lcfg.history_num, lcfg.history_num + 1)
     ok = (idx >= 0) & (idx < kf.count)
     idx = jnp.clip(idx, 0, cap.max_keyframes - 1)
@@ -74,17 +74,22 @@ def history_submap(config: PipelineConfig, kf: KeyframeStore,
     o, om = world(kf.outlier[idx], kf.outlier_mask[idx])
     pts = jnp.concatenate([c, s, o])
     mask = jnp.concatenate([cm, sm, om])
-    return voxel.thin_group(pts, mask, cap.history_pad)
+    out, omask = voxel.voxel_decimate(pts, mask, lcfg.history_leaf,
+                                      cap.history_pad)
+    return out, omask
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def keyframe_cloud(config: PipelineConfig, kf: KeyframeStore,
                    idx: jnp.ndarray, place_pose: jnp.ndarray):
-    """Corner+surf store cloud of keyframe ``idx`` expressed at
-    ``place_pose`` (mO.cpp:880-894/926-929).
-    Returns (pts (kf_store_corner+kf_store_surf, 3), mask)."""
-    pts = jnp.concatenate([kf.corner[idx], kf.surf[idx]])
-    mask = jnp.concatenate([kf.corner_mask[idx], kf.surf_mask[idx]])
+    """Corner+surf cloud of keyframe ``idx`` expressed at ``place_pose``
+    (mO.cpp:880-894/926-929). Returns (pts (icp_query_pad,3), mask)."""
+    cap = config.cap
+    c = kf.corner[idx]
+    s = kf.surf[idx]
+    pts = jnp.concatenate([c, s])[:cap.icp_query_pad]
+    mask = jnp.concatenate([kf.corner_mask[idx],
+                            kf.surf_mask[idx]])[:cap.icp_query_pad]
     out = se3.transform_points(place_pose, pts[None])[0]
     return jnp.where(mask[:, None], out, 0.0), mask
 

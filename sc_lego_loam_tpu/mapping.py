@@ -33,8 +33,11 @@ from .utils import se3
 
 def _make_knn5(submap, submap_mask, m):
     """5-NN closure: fused Pallas kernel on TPU (with the loop-invariant
-    target prep hoisted), XLA tiles elsewhere."""
-    if jax.default_backend() == "tpu":
+    target prep hoisted), XLA tiles elsewhere.  SCLOAM_NO_PALLAS=1 forces
+    the exact XLA path (A/B debugging)."""
+    import os
+    if jax.default_backend() == "tpu" and \
+            os.environ.get("SCLOAM_NO_PALLAS", "0") != "1":
         tpad, tt = pallas_knn.prepare_targets(submap, submap_mask)
         return lambda q: pallas_knn.knn_pallas_prepared(
             q, tpad, tt, k=m.knn, max_sq_dist=4.0 * m.max_nn_sq_dist)
@@ -44,23 +47,15 @@ _BIG = jnp.float32(1e18)
 
 
 class KeyframeStore(NamedTuple):
-    """Fixed-capacity keyframe bank (C12).
-
-    Clouds are stored THINNED to the per-keyframe store sizes
-    (CapacityConfig.kf_store_*): the bank only ever serves as gathered NN
-    targets (submaps, history submaps, ICP clouds), all of which are
-    density-capped anyway, so storing more would only be decimated again
-    downstream.  This keeps the bank ~10x smaller than full scan pads
-    (~0.1 GB at K=4096 / ~0.4 GB at K=16384 full-size) and turns submap
-    assembly into a pure gather+transform."""
+    """Fixed-capacity keyframe bank (C12)."""
 
     poses6: jnp.ndarray        # (K,6) (roll,pitch,yaw,x,y,z) world poses
     times: jnp.ndarray         # (K,) scan timestamps (s)
-    corner: jnp.ndarray        # (K,Cs,3) sensor-frame corner clouds
-    corner_mask: jnp.ndarray   # (K,Cs)
-    surf: jnp.ndarray          # (K,Ss,3)
+    corner: jnp.ndarray        # (K,Ckf,3) sensor-frame corner clouds
+    corner_mask: jnp.ndarray   # (K,Ckf)
+    surf: jnp.ndarray          # (K,Skf,3)
     surf_mask: jnp.ndarray
-    outlier: jnp.ndarray       # (K,Os,3)
+    outlier: jnp.ndarray       # (K,Okf,3)
     outlier_mask: jnp.ndarray
     odom_z: jnp.ndarray        # (K,4,4) pose-graph odometry factors:
                                # odom_z[k] = X_{k-1}^-1 X_k at insertion
@@ -81,12 +76,12 @@ def init_state(config: PipelineConfig) -> MapState:
     kf = KeyframeStore(
         poses6=jnp.zeros((K, 6), jnp.float32),
         times=jnp.zeros((K,), jnp.float32),
-        corner=jnp.zeros((K, cap.kf_store_corner, 3), jnp.float32),
-        corner_mask=jnp.zeros((K, cap.kf_store_corner), bool),
-        surf=jnp.zeros((K, cap.kf_store_surf, 3), jnp.float32),
-        surf_mask=jnp.zeros((K, cap.kf_store_surf), bool),
-        outlier=jnp.zeros((K, cap.kf_store_outlier, 3), jnp.float32),
-        outlier_mask=jnp.zeros((K, cap.kf_store_outlier), bool),
+        corner=jnp.zeros((K, cap.kf_corner_pad, 3), jnp.float32),
+        corner_mask=jnp.zeros((K, cap.kf_corner_pad), bool),
+        surf=jnp.zeros((K, cap.kf_surf_pad, 3), jnp.float32),
+        surf_mask=jnp.zeros((K, cap.kf_surf_pad), bool),
+        outlier=jnp.zeros((K, cap.kf_outlier_pad, 3), jnp.float32),
+        outlier_mask=jnp.zeros((K, cap.kf_outlier_pad), bool),
         odom_z=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                 (K, 4, 4)).copy(),
         count=jnp.int32(0),
@@ -102,19 +97,16 @@ def _transform(T, pts):
 
 
 def build_submap(config: PipelineConfig, kf: KeyframeStore):
-    """Union of selected keyframe STORE clouds in world frame
-    (extractSurroundingKeyFrames, mO.cpp:1122-1231).
+    """Union of selected keyframe clouds in world frame, voxel-downsampled
+    (extractSurroundingKeyFrames; corner DS 0.2, surf(+outlier) DS 0.3,
+    mO.cpp:1223-1230).
 
     Loop-closure ON: the ``submap_recent_num`` most recent keyframes
     (mO.cpp:1127-1166 deque path).  OFF: the nearest keyframes within
     ``submap_search_radius`` of the latest pose (mO.cpp:1167-1222 radius
-    search path) — capped at the same count to keep shapes static.
-
-    The reference voxel-downsamples the union per rebuild (mO.cpp:1223-
-    1230) to bound kd-tree cost; here the per-keyframe stores are ALREADY
-    thinned to the submap's density budget at insert time, so assembly is
-    a pure gather + batched transform + reshape — no decimation pass (a
-    ~13 ms scatter-min at full size in round 2)."""
+    search path) — capped at the same count to keep shapes static (the
+    reference's incremental add/remove cache is a CPU economy; here the
+    gather is one batched top-k)."""
     cap, m = config.cap, config.mapping
     R = m.submap_recent_num
     last = kf.count - 1
@@ -136,13 +128,21 @@ def build_submap(config: PipelineConfig, kf: KeyframeStore):
     def world(pts, mask):
         out = (poses[:, None, :3, :3] @ pts[..., None])[..., 0] \
             + poses[:, None, :3, 3]
-        return out.reshape(-1, 3), (mask & sel_ok[:, None]).reshape(-1)
+        return out, mask & sel_ok[:, None]
 
-    corner, corner_mask = world(kf.corner[idx], kf.corner_mask[idx])
+    c_pts, c_mask = world(kf.corner[idx], kf.corner_mask[idx])
     s_pts, s_mask = world(kf.surf[idx], kf.surf_mask[idx])
     o_pts, o_mask = world(kf.outlier[idx], kf.outlier_mask[idx])
-    surf = jnp.concatenate([s_pts, o_pts])
-    surf_mask = jnp.concatenate([s_mask, o_mask])
+
+    # O(n) hash decimation instead of exact centroid voxel grids: the
+    # submap is purely a nearest-neighbor target (see voxel.voxel_decimate).
+    corner, corner_mask = voxel.voxel_decimate(
+        c_pts.reshape(-1, 3), c_mask.reshape(-1), m.corner_leaf,
+        cap.submap_corner_pad)
+    surf_all = jnp.concatenate([s_pts.reshape(-1, 3), o_pts.reshape(-1, 3)])
+    surf_allm = jnp.concatenate([s_mask.reshape(-1), o_mask.reshape(-1)])
+    surf, surf_mask = voxel.voxel_decimate(
+        surf_all, surf_allm, m.surf_leaf, cap.submap_surf_pad)
     return corner, corner_mask, surf, surf_mask
 
 
@@ -286,28 +286,23 @@ def insert_keyframe(config: PipelineConfig, kf: KeyframeStore,
                     outlier: jnp.ndarray, outlier_mask: jnp.ndarray
                     ) -> KeyframeStore:
     """Append a keyframe (saveKeyFramesAndFactor, mO.cpp:1525-1639).
-    Clouds are thinned to the per-keyframe store sizes (bank docstring),
-    stored in the sensor frame; pose as a 6-vec.  Also records the
-    pose-graph odometry factor (prior for node 0, between otherwise,
+    Clouds are stored in the sensor frame; pose as a 6-vec.  Also records
+    the pose-graph odometry factor (prior for node 0, between otherwise,
     mO.cpp:1544-1560)."""
-    cap = config.cap
-    c_s, cm_s = voxel.thin_group(corner, corner_mask, cap.kf_store_corner)
-    s_s, sm_s = voxel.thin_group(surf, surf_mask, cap.kf_store_surf)
-    o_s, om_s = voxel.thin_group(outlier, outlier_mask, cap.kf_store_outlier)
-    i = jnp.minimum(kf.count, cap.max_keyframes - 1)
+    i = jnp.minimum(kf.count, config.cap.max_keyframes - 1)
     prev = se3.pose6_to_mat(kf.poses6[jnp.maximum(i - 1, 0)])
     z = jnp.where(i == 0, pose, se3.mat_inv(prev) @ pose)
     return kf._replace(
         odom_z=kf.odom_z.at[i].set(z),
         poses6=kf.poses6.at[i].set(se3.mat_to_pose6(pose)),
         times=kf.times.at[i].set(time),
-        corner=kf.corner.at[i].set(c_s),
-        corner_mask=kf.corner_mask.at[i].set(cm_s),
-        surf=kf.surf.at[i].set(s_s),
-        surf_mask=kf.surf_mask.at[i].set(sm_s),
-        outlier=kf.outlier.at[i].set(o_s),
-        outlier_mask=kf.outlier_mask.at[i].set(om_s),
-        count=jnp.minimum(kf.count + 1, cap.max_keyframes),
+        corner=kf.corner.at[i].set(corner),
+        corner_mask=kf.corner_mask.at[i].set(corner_mask),
+        surf=kf.surf.at[i].set(surf),
+        surf_mask=kf.surf_mask.at[i].set(surf_mask),
+        outlier=kf.outlier.at[i].set(outlier),
+        outlier_mask=kf.outlier_mask.at[i].set(outlier_mask),
+        count=jnp.minimum(kf.count + 1, config.cap.max_keyframes),
     )
 
 

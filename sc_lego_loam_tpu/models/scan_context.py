@@ -65,22 +65,19 @@ def make_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
     ok = mask & (rho < sc.max_radius) & (rho > 1e-3)
     ring = jnp.clip((rho / (sc.max_radius / R)).astype(jnp.int32), 0, R - 1)
     sector = jnp.clip((theta / (360.0 / S)).astype(jnp.int32), 0, S - 1)
-    flat = jnp.where(ok, ring * S + sector, R * S)
+    flat = jnp.where(ok, ring * S + sector, 0)
     val = jnp.where(ok, z + sc.lidar_height, -_BIG)
-    # Scatter-free per-bin max: broadcast-compare each point chunk against
-    # all R*S bin ids and max-reduce.  O(N * R*S) VPU compares (~40M for a
-    # 32k cloud) beat TPU scatters, which serialize over colliding updates
-    # (measured 1.3 ms vs 2.3-28 ms for the chunked scatter-max here).
+    # Chunked scatter-max: TPU scatters serialize over colliding updates,
+    # so one 65k-point scatter is ~memory-latency bound; C independent
+    # per-chunk scatters (vmapped) + one max-reduce run ~C-way parallel.
     n = points.shape[0]
-    C = 16
+    C = 64
     while n % C:
         C //= 2
-    chunk = n // C
-    bins = jnp.arange(R * S, dtype=jnp.int32)[None, :, None]   # (1,RS,1)
     desc = jax.vmap(
-        lambda f, v: jnp.where(f[None, :] == bins[0], v[None, :],
-                               -_BIG).max(-1)
-    )(flat.reshape(C, chunk), val.reshape(C, chunk)).max(0)
+        lambda f, v: jnp.full((R * S,), -_BIG, jnp.float32).at[f].max(
+            v, mode="drop")
+    )(flat.reshape(C, -1), val.reshape(C, -1)).max(0)
     desc = jnp.where(desc <= -_BIG * 0.5, 0.0, desc)
     return desc.reshape(R, S)
 

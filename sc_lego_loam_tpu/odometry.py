@@ -47,15 +47,12 @@ class OdometryState(NamedTuple):
 
 def init_state(config: PipelineConfig) -> OdometryState:
     cap = config.cap
-    R = config.lidar.n_scan
 
     def empty(pad):
-        # Ring-blocked layout (slot r*(pad//R)+p on ring r), matching
-        # ops/features.py output.
         return FeatureCloud(
             xyz=jnp.zeros((pad, 3), jnp.float32),
             mask=jnp.zeros((pad,), bool),
-            ring=jnp.repeat(jnp.arange(R, dtype=jnp.int32), pad // R),
+            ring=jnp.zeros((pad,), jnp.int32),
             rel_time=jnp.zeros((pad,), jnp.float32))
 
     return OdometryState(
@@ -67,95 +64,49 @@ def init_state(config: PipelineConfig) -> OdometryState:
     )
 
 
-_NN_BITS = 8                     # within-ring index bits (P <= 256)
-_NN_MAXKEY = 2 ** 31 - 1
-_NN_MAX_SQ = 64.0                # quantization range >= nearest_sq_dist
+def _sqdist(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(Q,3),(T,3) -> (Q,T) squared distances via the MXU."""
+    qq = (q * q).sum(-1)[:, None]
+    tt = (t * t).sum(-1)[None, :]
+    return jnp.maximum(qq + tt - 2.0 * (q @ t.T), 0.0)
 
 
-def _ring_tables(q_xyz, tgt_xyz, tgt_mask, n_rings: int):
-    """Two nearest targets of every query in EVERY ring, in one fused pass.
-
-    Targets are ring-blocked ((R*P,3), slot r*P+p on ring r — the layout
-    ops/features.py emits).  One batched (Q,R,P) distance einsum on the
-    MXU, packed (quantized distance | within-ring index) int32 keys, and
-    two min-reductions over the short P axis.  Replaces the flat (Q,T)
-    masked-argmin chains (~8 full materializations + lane-wide reductions
-    + gathers) that dominated odometry latency.
-
-    Returns (d1, i1, d2, i2): (Q,R) per-ring nearest/2nd-nearest squared
-    distances and FLAT target indices.
-    """
-    R = n_rings
-    P = tgt_xyz.shape[0] // R
-    assert P * R == tgt_xyz.shape[0] and P <= (1 << _NN_BITS)
-    t = tgt_xyz.reshape(R, P, 3)
-    tm = tgt_mask.reshape(R, P)
-    qq = (q_xyz * q_xyz).sum(-1)
-    tt = (t * t).sum(-1)
-    dots = jnp.einsum("qd,rpd->qrp", q_xyz, t,
-                      preferred_element_type=jnp.float32)
-    d = jnp.maximum(qq[:, None, None] + tt[None] - 2.0 * dots, 0.0)
-    scale = float((1 << (31 - _NN_BITS)) - 4) / _NN_MAX_SQ
-    dq = jnp.clip(d * scale, 0,
-                  float((1 << (31 - _NN_BITS)) - 2)).astype(jnp.int32)
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
-    key = (dq << _NN_BITS) | pidx[None]
-    key = jnp.where(tm[None], key, _NN_MAXKEY)
-    k1 = key.min(-1)                                        # (Q,R)
-    k2 = jnp.where(key == k1[..., None], _NN_MAXKEY, key).min(-1)
-    base = (jnp.arange(R, dtype=jnp.int32) * P)[None, :]
-
-    def unpack(kk):
-        dd = (kk >> _NN_BITS).astype(jnp.float32) / scale
-        ii = base + (kk & ((1 << _NN_BITS) - 1))
-        return jnp.where(kk == _NN_MAXKEY, _BIG, dd), ii
-
-    d1, i1 = unpack(k1)
-    d2, i2 = unpack(k2)
-    return d1, i1, d2, i2
-
-
-def _ring_window_min(d1, i1, ring_j, span: int, R: int):
-    """Nearest target over rings ring_j +- 1..span (excluding ring_j).
-    Returns (dist (Q,), flat index (Q,))."""
-    offs = jnp.asarray([o for o in range(-span, span + 1) if o != 0],
-                       jnp.int32)
-    cand = ring_j[:, None] + offs[None]                     # (Q, 2*span)
-    okr = (cand >= 0) & (cand < R)
-    candc = jnp.clip(cand, 0, R - 1)
-    dw = jnp.where(okr, jnp.take_along_axis(d1, candc, 1), _BIG)
-    sel = jnp.argmin(dw, -1)
-    dmin = jnp.take_along_axis(dw, sel[:, None], 1)[:, 0]
-    ring2 = jnp.take_along_axis(candc, sel[:, None], 1)[:, 0]
-    idx = jnp.take_along_axis(i1, ring2[:, None], 1)[:, 0]
-    return dmin, idx
-
-
-def _find_corner(q_xyz, q_mask, tgt: FeatureCloud, ocfg, n_rings: int):
+def _find_corner(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
     """Edge correspondences (fA.cpp:1044-1153): nearest neighbor j plus the
     nearest point l2 in a *different* ring within +-near_ring_span."""
-    d1, i1, _, _ = _ring_tables(q_xyz, tgt.xyz, tgt.mask, n_rings)
-    ring_j = jnp.argmin(d1, -1)
-    dj = jnp.take_along_axis(d1, ring_j[:, None], 1)[:, 0]
-    j = jnp.take_along_axis(i1, ring_j[:, None], 1)[:, 0]
-    dl2, l2 = _ring_window_min(d1, i1, ring_j, int(ocfg.near_ring_span),
-                               n_rings)
+    d = _sqdist(q_xyz, tgt.xyz)
+    d = jnp.where(tgt.mask[None, :], d, _BIG)
+    j = jnp.argmin(d, -1)
+    dj = jnp.take_along_axis(d, j[:, None], -1)[:, 0]
+    ring_j = tgt.ring[j]
+    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None]).astype(jnp.float32)
+    m2 = (dr > 0) & (dr <= ocfg.near_ring_span)
+    d2 = jnp.where(m2, d, _BIG)
+    l2 = jnp.argmin(d2, -1)
+    dl2 = jnp.take_along_axis(d2, l2[:, None], -1)[:, 0]
     valid = q_mask & (dj < ocfg.nearest_sq_dist) & (dl2 < ocfg.nearest_sq_dist)
     return j, l2, valid
 
 
-def _find_surf(q_xyz, q_mask, tgt: FeatureCloud, ocfg, n_rings: int):
+def _find_surf(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
     """Planar correspondences (fA.cpp:1155-1268): nearest j, nearest l2 in
-    the SAME ring (excluding j) = the per-ring second minimum, nearest l3
-    in a different ring within +-near_ring_span."""
-    d1, i1, d2, i2 = _ring_tables(q_xyz, tgt.xyz, tgt.mask, n_rings)
-    ring_j = jnp.argmin(d1, -1)
-    dj = jnp.take_along_axis(d1, ring_j[:, None], 1)[:, 0]
-    j = jnp.take_along_axis(i1, ring_j[:, None], 1)[:, 0]
-    dl2 = jnp.take_along_axis(d2, ring_j[:, None], 1)[:, 0]
-    l2 = jnp.take_along_axis(i2, ring_j[:, None], 1)[:, 0]
-    dl3, l3 = _ring_window_min(d1, i1, ring_j, int(ocfg.near_ring_span),
-                               n_rings)
+    the SAME ring (excluding j), nearest l3 in a different ring within
+    +-near_ring_span."""
+    d = _sqdist(q_xyz, tgt.xyz)
+    d = jnp.where(tgt.mask[None, :], d, _BIG)
+    j = jnp.argmin(d, -1)
+    dj = jnp.take_along_axis(d, j[:, None], -1)[:, 0]
+    ring_j = tgt.ring[j]
+    same = tgt.ring[None, :] == ring_j[:, None]
+    not_j = jnp.arange(d.shape[1])[None, :] != j[:, None]
+    d2 = jnp.where(same & not_j, d, _BIG)
+    l2 = jnp.argmin(d2, -1)
+    dl2 = jnp.take_along_axis(d2, l2[:, None], -1)[:, 0]
+    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None]).astype(jnp.float32)
+    m3 = (dr > 0) & (dr <= ocfg.near_ring_span)
+    d3 = jnp.where(m3, d, _BIG)
+    l3 = jnp.argmin(d3, -1)
+    dl3 = jnp.take_along_axis(d3, l3[:, None], -1)[:, 0]
     thr = ocfg.nearest_sq_dist
     valid = q_mask & (dj < thr) & (dl2 < thr) & (dl3 < thr)
     return j, l2, l3, valid
@@ -368,12 +319,10 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
 
         dk = ocfg.deskew
 
-        R = config.lidar.n_scan
-
         # Stage 1: surf features -> [roll, pitch, tz] = twist idx [0,1,5].
         def surf_research(xi):
             q = _deskew(xi, flat.xyz, flat.rel_time, dk)
-            return _find_surf(q, flat.mask, surf_t, ocfg, R)
+            return _find_surf(q, flat.mask, surf_t, ocfg)
 
         def surf_resid(xi, corres):
             j, l2, l3, valid = corres
@@ -384,7 +333,7 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
 
         def corner_research(xi):
             q = _deskew(xi, sharp.xyz, sharp.rel_time, dk)
-            return _find_corner(q, sharp.mask, corner_t, ocfg, R)
+            return _find_corner(q, sharp.mask, corner_t, ocfg)
 
         def corner_resid(xi, corres):
             j, l2, valid = corres

@@ -20,8 +20,7 @@ import jax.numpy as jnp
 
 from ..config import CapacityConfig, FeatureConfig
 from .compaction import SegmentedCloud
-
-_BIG_F = jnp.float32(1e18)
+from .voxel import voxel_downsample
 
 
 class FeatureCloud(NamedTuple):
@@ -34,16 +33,10 @@ class FeatureCloud(NamedTuple):
 
 
 class FeatureSet(NamedTuple):
-    """``less_sharp`` / ``less_flat`` are RING-BLOCKED: with pad N and H
-    rings, slot h*(N//H)+p holds the p-th feature of ring h (mask False on
-    unused slots).  The blocked layout lets the odometry NN search reduce
-    per-ring in one fused (Q, H, P) pass (odometry._ring_tables) instead of
-    masked argmin chains over a flat (Q, N) distance matrix."""
-
     sharp: FeatureCloud        # <=2/section edges         (label 2)
     less_sharp: FeatureCloud   # <=20/section edges        (label >=1)
     flat: FeatureCloud         # <=4/section ground planes (label -1)
-    less_flat: FeatureCloud    # everything label<=0, per-ring decimated
+    less_flat: FeatureCloud    # everything label<=0, voxel-DS 0.2
 
 
 def curvature(cloud: SegmentedCloud, feat: FeatureConfig, neighbor_mask=None):
@@ -155,92 +148,41 @@ def _onehot_mark(W, pos, mask):
     )(flat_pos, flat_mask)
 
 
-def _greedy_pick(score, pos, has, chain_id, feat: FeatureConfig):
-    """Greedy pick-and-suppress on a per-section candidate list.
-
-    Candidates come rank-sorted (best first, from top_k).  Candidate r is
-    picked iff no better already-picked candidate sits within
-    +-suppress_halfwidth compacted positions on an unbroken column-gap
-    chain — exactly the reference's sequential walk (fA.cpp:699-769)
-    restated on the candidate set: "all consecutive gaps between p and q
-    <= suppress_col_gap" is equivalent to equal prefix-sums of gap breaks
-    (``chain_id``).  The loop runs over the tiny (H,S,KC) candidate tensor
-    instead of the full (H,S,W) grid the round-2 implementation swept
-    once per pick (24 full-grid argmax+scatter rounds -> ~40 micro-ops).
-
-    Returns picked (H,S,KC) bool.
-    """
-    KC = pos.shape[-1]
-    near = jnp.abs(pos[..., :, None] - pos[..., None, :]) \
-        <= feat.suppress_halfwidth
-    same_chain = chain_id[..., :, None] == chain_id[..., None, :]
-    M = near & same_chain & has[..., :, None] & has[..., None, :]
-    picked = jnp.zeros(pos.shape, bool).at[..., 0].set(has[..., 0])
-    for r in range(1, KC):
-        supp = (picked[..., :r] & M[..., :r, r]).any(-1)
-        picked = picked.at[..., r].set(has[..., r] & ~supp)
-    return picked
-
-
-def _scatter_label(label, pos, flag, val):
-    """label[h, pos[h,s,c]] <- val where flag (per ring, tiny scatters)."""
-    H, W = label.shape
-    p = pos.reshape(H, -1)
-    f = flag.reshape(H, -1)
-    upd = jax.vmap(
-        lambda pr, fr: jnp.zeros((W,), jnp.int8).at[
-            jnp.where(fr, pr, W)].max(jnp.int8(1), mode="drop")
-    )(p, f).astype(bool)
-    return jnp.where(upd, jnp.int8(val), label)
-
-
 def extract(cloud: SegmentedCloud, feat: FeatureConfig,
             cap: CapacityConfig) -> FeatureSet:
     H, W = cloud.rng.shape
     S = feat.sections
     curv, curv_ok = curvature(cloud, feat)
     occl = occlusion_mask(cloud, feat)
+    picked = occl
 
-    pos_w = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     n = jnp.maximum(cloud.count, 1)[:, None]
-    sec_id = jnp.minimum((pos_w * S) // n, S - 1)          # (H,W)
-    sec_onehot = sec_id[:, None, :] == jnp.arange(S)[None, :, None]
-
-    # Column-gap chain ids: suppression never crosses a compacted-neighbor
-    # gap > suppress_col_gap (fA.cpp:720-732); equal prefix-sum of breaks
-    # <=> unbroken chain between two positions.
-    brk = jnp.abs(cloud.col - jnp.roll(cloud.col, 1, 1)) > feat.suppress_col_gap
-    brk = brk.at[:, 0].set(False)
-    chain = jnp.cumsum(brk.astype(jnp.int32), axis=1)      # (H,W)
-
-    def gather_row(a, idx):
-        return jax.vmap(lambda ar, ir: ar[ir])(
-            a, idx.reshape(H, -1)).reshape(idx.shape)
-
-    NEG = jnp.float32(-1.0)
-
-    # ---- edge picks: one top-KC pass + greedy suppression ----
-    KC = 32   # > edge_less_per_section; headroom for suppressed candidates
-    cand = curv_ok & ~occl & (curv > feat.edge_threshold) & ~cloud.ground
-    score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], NEG)
-    val, pos = jax.lax.top_k(score, KC)                    # (H,S,KC) desc
-    has = val > 0.0
-    picked = _greedy_pick(val, pos, has, gather_row(chain, pos), feat)
-    rank = jnp.cumsum(picked.astype(jnp.int32), -1)
-    sharp_f = picked & (rank <= feat.edge_per_section)
-    less_f = picked & (rank <= feat.edge_less_per_section)
+    sec_id = jnp.minimum((pos * S) // n, S - 1)           # (H,W)
+    sec_onehot = sec_id[:, None, :] == jnp.arange(S)[None, :, None]  # (H,S,W)
 
     label = jnp.zeros((H, W), jnp.int8)
-    label = _scatter_label(label, pos, less_f, 1)
-    label = _scatter_label(label, pos, sharp_f, 2)
+    NEG = jnp.float32(-1.0)
+    BIG = jnp.float32(1e18)
 
-    # Suppression zones of the edge picks, for the surf phase (one pass).
-    spos, smask = _suppress_positions(cloud.col, pos.reshape(H, -1),
-                                      cloud.count, feat)
-    smask &= less_f.reshape(H, -1)[..., None]
-    supp_map = _onehot_mark(W, spos, smask)
+    def edge_iter(k, state):
+        label, picked = state
+        cand = curv_ok & ~picked & (curv > feat.edge_threshold) & ~cloud.ground
+        score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], NEG)
+        idx = jnp.argmax(score, -1).astype(jnp.int32)      # (H,S)
+        val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
+        has = val > 0.0
+        lab_val = jnp.where(k < feat.edge_per_section, jnp.int8(2), jnp.int8(1))
+        pick_plane = _onehot_mark(W, idx[..., None], has[..., None])
+        label = jnp.where(pick_plane, jnp.maximum(label, lab_val), label)
+        spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
+        smask &= has[..., None]
+        picked = picked | _onehot_mark(W, spos, smask)
+        return label, picked
 
-    # ---- surf picks ----
+    label, picked = jax.lax.fori_loop(
+        0, feat.edge_less_per_section, edge_iter, (label, picked))
+
     # Ground planarity judged against ground neighbors only (see curvature).
     gcurv, _ = curvature(cloud, feat, neighbor_mask=cloud.ground & cloud.valid)
     # Ground is exempt from the occlusion/parallel-beam pre-mask: ground is
@@ -249,19 +191,24 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     # (fA.cpp marks +-5 compacted neighbors around any jump, which on short
     # ground runs pre-picks ALL of them).  Pick-suppression marks from the
     # edge phase still apply.
-    KS = 8
-    excl = supp_map | (occl & ~cloud.ground)
-    cand_s = curv_ok & ~excl & (gcurv < feat.surf_threshold) & cloud.ground
-    score_s = jnp.where(cand_s[:, None, :] & sec_onehot,
-                        -gcurv[:, None, :], -_BIG_F)
-    val_s, pos_s = jax.lax.top_k(score_s, KS)
-    has_s = val_s > -_BIG_F * 0.5
-    picked_s = _greedy_pick(val_s, pos_s, has_s, gather_row(chain, pos_s),
-                            feat)
-    rank_s = jnp.cumsum(picked_s.astype(jnp.int32), -1)
-    flat_f = picked_s & (rank_s <= feat.surf_per_section)
-    neg = _scatter_label(jnp.zeros((H, W), jnp.int8), pos_s, flat_f, 1)
-    label = jnp.where(neg.astype(bool) & (label == 0), jnp.int8(-1), label)
+    picked = picked & ~(occl & cloud.ground)
+
+    def surf_iter(k, state):
+        label, picked = state
+        cand = curv_ok & ~picked & (gcurv < feat.surf_threshold) & cloud.ground
+        score = jnp.where(cand[:, None, :] & sec_onehot, gcurv[:, None, :], BIG)
+        idx = jnp.argmin(score, -1).astype(jnp.int32)
+        val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
+        has = val < BIG * 0.5
+        pick_plane = _onehot_mark(W, idx[..., None], has[..., None])
+        label = jnp.where(pick_plane, jnp.int8(-1), label)
+        spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
+        smask &= has[..., None]
+        picked = picked | _onehot_mark(W, spos, smask)
+        return label, picked
+
+    label, picked = jax.lax.fori_loop(
+        0, feat.surf_per_section, surf_iter, (label, picked))
 
     rings = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 
@@ -276,56 +223,24 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
             rel_time=jnp.where(ok, cloud.rel_time.reshape(-1)[idx], 0.0),
         )
 
-    def gather_ringed(idx, ok):
-        """(H,P) within-row indices -> ring-blocked flat FeatureCloud."""
-        P = idx.shape[1]
-
-        def g(a):
-            return jnp.take_along_axis(a, idx, axis=1)
-
-        ring2d = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0)
-        return FeatureCloud(
-            xyz=jnp.where(ok[..., None],
-                          jnp.take_along_axis(
-                              cloud.xyz, idx[..., None], axis=1),
-                          0.0).reshape(H * P, 3),
-            mask=ok.reshape(H * P),
-            ring=jnp.where(ok, ring2d, 0).reshape(H * P),
-            rel_time=jnp.where(ok, g(cloud.rel_time), 0.0).reshape(H * P),
-        )
-
-    from .compact import compact_indices as _ci
-
-    def ring_compact(mask2d, pad):
-        """Per-ring compaction to P = pad//H slots per ring."""
-        assert pad % H == 0, (pad, H)
-        P = pad // H
-        idx, ok = jax.vmap(lambda m: _ci(m, P))(mask2d)
-        return gather_ringed(idx, ok)
-
-    def ring_thin(mask2d, pad):
-        """Per-ring strided decimation to P = pad//H slots per ring: when a
-        ring has more than P candidates, keep every ceil(cnt/P)-th in
-        column order.  Replaces the reference's 0.2 m voxel DS of the
-        less-flat cloud (fA.cpp:771-782,225) — both are density caps on the
-        matching targets; this one preserves exact ring/rel_time and the
-        ring-blocked layout the NN search wants."""
-        assert pad % H == 0, (pad, H)
-        P = pad // H
-        cnt = mask2d.sum(1).astype(jnp.int32)                   # (H,)
-        cidx, _ = jax.vmap(lambda m: _ci(m, W))(mask2d)         # (H,W)
-        stride = jnp.maximum((cnt + P - 1) // P, 1)             # (H,)
-        pick = jnp.arange(P, dtype=jnp.int32)[None, :] * stride[:, None]
-        ok = pick < cnt[:, None]
-        idx = jnp.take_along_axis(cidx, jnp.minimum(pick, W - 1), axis=1)
-        return gather_ringed(idx, ok)
-
     sharp = gather_class(label == 2, cap.sharp_pad)
-    less_sharp = ring_compact(label >= 1, cap.less_sharp_pad)
+    less_sharp = gather_class(label >= 1, cap.less_sharp_pad)
     flat = gather_class(label == -1, cap.flat_pad)
 
     # Less-flat: every in-range point not picked as an edge
-    # (fA.cpp:771-782 cloudLabel <= 0), per-ring decimated.
-    less_flat = ring_thin(curv_ok & (label <= 0), cap.less_flat_pad)
+    # (fA.cpp:771-782 cloudLabel <= 0), voxel-downsampled at 0.2 m.
+    lf_mask = curv_ok & (label <= 0)
+    pts = cloud.xyz.reshape(-1, 3)
+    extras = jnp.stack([rings.reshape(-1).astype(jnp.float32),
+                        cloud.rel_time.reshape(-1)], -1)
+    from .voxel import voxel_downsample_hash
+    ds_pts, ds_mask, ds_ex = voxel_downsample_hash(
+        pts, lf_mask.reshape(-1), feat.less_flat_leaf, cap.less_flat_pad,
+        extras=extras)
+    less_flat = FeatureCloud(
+        xyz=ds_pts, mask=ds_mask,
+        ring=jnp.round(ds_ex[:, 0]).astype(jnp.int32),
+        rel_time=ds_ex[:, 1],
+    )
     return FeatureSet(sharp=sharp, less_sharp=less_sharp, flat=flat,
                       less_flat=less_flat)

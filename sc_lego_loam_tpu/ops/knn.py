@@ -17,6 +17,14 @@ import jax.numpy as jnp
 _BIG = jnp.float32(1e18)
 
 
+def _fit_chunk(Q: int, chunk: int) -> int:
+    """Largest divisor of Q that is <= chunk (Q is a static pad size)."""
+    chunk = min(chunk, Q)
+    while Q % chunk:
+        chunk -= 1
+    return chunk
+
+
 def _block_sqdist(q, t):
     qq = (q * q).sum(-1)[:, None]
     tt = (t * t).sum(-1)[None, :]
@@ -36,8 +44,7 @@ def knn(query: jnp.ndarray, target: jnp.ndarray, target_mask: jnp.ndarray,
     times faster at T ~ 1e5.
     """
     Q = query.shape[0]
-    chunk = min(chunk, Q)
-    assert Q % chunk == 0, (Q, chunk)
+    chunk = _fit_chunk(Q, chunk)
     if approx is None:
         approx = target.shape[0] >= 32768   # wins only at large T
     tmask = jnp.where(target_mask, 0.0, _BIG)[None, :]
@@ -58,8 +65,7 @@ def nn1(query: jnp.ndarray, target: jnp.ndarray, target_mask: jnp.ndarray,
         chunk: int = 512):
     """Nearest single neighbor: returns (idx (Q,), sqd (Q,))."""
     Q = query.shape[0]
-    chunk = min(chunk, Q)
-    assert Q % chunk == 0, (Q, chunk)
+    chunk = _fit_chunk(Q, chunk)
     tmask = jnp.where(target_mask, 0.0, _BIG)[None, :]
 
     def one(qc):

@@ -106,30 +106,35 @@ def voxel_downsample_hash(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
 
 
 def thin_group(points: jnp.ndarray, mask: jnp.ndarray, out_pad: int):
-    """Bounded uniform decimation: split the padded cloud into ``out_pad``
-    contiguous groups and keep the first valid point of each.
+    """Bounded COUNT-AWARE decimation: keep min(n_valid, out_pad) valid
+    points, uniformly spaced in valid-rank order.
 
-    All callers feed hash-scattered (voxel_downsample_hash) or
-    ring-interleaved orders, where memory-adjacent points are spatially
-    spread — so group-pick-1 approximates a uniform spatial subsample at
-    reshape+argmax cost (no scatters, no sort).  Used to bound NN-target
-    sizes (keyframe store thinning, history submaps), where exact voxel
-    decimation buys nothing: the consumer is a distance-gated 5-point fit.
+    Lossless whenever the cloud fits the output pad (n_valid <= out_pad) —
+    decimation kicks in only past capacity, unlike a pad-geometry stride
+    (which would thin a 300-points-in-2048-slots cloud 4x for a 512 pad).
+    Callers feed hash-scattered (voxel_downsample_hash) or ring-interleaved
+    orders, where rank-adjacent points are spatially spread — so uniform
+    rank spacing approximates a uniform spatial subsample.  Used to bound
+    NN-target sizes (keyframe store thinning, history submaps), where exact
+    voxel decimation buys nothing: the consumer is a distance-gated
+    5-point fit.  Cost: one cumsum + one scatter over N + an out_pad gather.
     """
     n = points.shape[0]
     if n <= out_pad:
         pad = out_pad - n
         return (jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)]),
                 jnp.concatenate([mask, jnp.zeros((pad,), bool)]))
-    g = -(-n // out_pad)
-    pad = g * out_pad - n
-    p = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)])
-    mk = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
-    pg = p.reshape(out_pad, g, 3)
-    mg = mk.reshape(out_pad, g)
-    sel = jnp.argmax(mg, -1)
-    ok = jnp.take_along_axis(mg, sel[:, None], 1)[:, 0]
-    out = jnp.take_along_axis(pg, sel[:, None, None], 1)[:, 0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1         # (N,) valid rank
+    n_valid = rank[-1] + 1
+    # pos[r] = array index of the r-th valid point.
+    scat = jnp.where(mask, rank, n)
+    pos = jnp.zeros((n,), jnp.int32).at[scat].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    j = jnp.arange(out_pad, dtype=jnp.int32)
+    fits = n_valid <= out_pad
+    r_j = jnp.where(fits, j, (j * n_valid) // out_pad)
+    ok = j < n_valid
+    out = points[pos[jnp.clip(r_j, 0, n - 1)]]
     return jnp.where(ok[:, None], out, 0.0), ok
 
 

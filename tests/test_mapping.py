@@ -68,16 +68,13 @@ def test_scan_to_map_recovers_perturbation():
     surf_map, corner_map = _make_scene(rng, n_surf=8192, n_corner=1024)
 
     cap = cfg.cap
-    n_sub_s = cfg.mapping.submap_recent_num * (
-        cap.kf_store_surf + cap.kf_store_outlier)
-    n_sub_c = cfg.mapping.submap_recent_num * cap.kf_store_corner
-    sub_s = np.zeros((n_sub_s, 3), np.float32)
+    sub_s = np.zeros((cap.submap_surf_pad, 3), np.float32)
     sub_s[:len(surf_map)] = surf_map
-    sub_sm = np.zeros(n_sub_s, bool)
+    sub_sm = np.zeros(cap.submap_surf_pad, bool)
     sub_sm[:len(surf_map)] = True
-    sub_c = np.zeros((n_sub_c, 3), np.float32)
+    sub_c = np.zeros((cap.submap_corner_pad, 3), np.float32)
     sub_c[:len(corner_map)] = corner_map
-    sub_cm = np.zeros(n_sub_c, bool)
+    sub_cm = np.zeros(cap.submap_corner_pad, bool)
     sub_cm[:len(corner_map)] = True
 
     # Current scan: subsample of the map, in sensor frame of true pose T.
@@ -130,7 +127,7 @@ def test_keyframe_insert_and_submap():
 
     pose1 = jnp.eye(4, dtype=jnp.float32)
     pose2 = jnp.asarray(np.array(se3.se3_exp(jnp.asarray(
-        [0, 0, 0.1, 5.0, 0, 0], jnp.float32))))
+        [0, 0, 0.1, 1.0, 0, 0], jnp.float32))))
 
     kf = mapping.insert_keyframe(cfg, st.kf, pose1, jnp.float32(0.0),
                                  jnp.asarray(c), jnp.asarray(cm),
@@ -148,10 +145,9 @@ def test_keyframe_insert_and_submap():
     sub_c, sub_cm, sub_s, sub_sm = mapping.build_submap(cfg, kf)
     assert int(sub_cm.sum()) > 0
     assert int(sub_sm.sum()) > 0
-    # Submap points live in world frame: keyframe-2 corners shifted by +5 x
-    # (the store is a thinned subset of c, so compare with margin).
+    # Submap points live in world frame: keyframe-2 corners shifted by +1 x.
     assert np.asarray(sub_c)[np.asarray(sub_cm)][:, 0].max() > \
-        np.asarray(c)[:, 0].max() + 1.0
+        np.asarray(c)[:, 0].max() + 0.5
 
 
 def test_icp_recovers_transform():
@@ -167,14 +163,12 @@ def test_icp_recovers_transform():
 
     T_true = np.asarray(se3.se3_exp(jnp.asarray(
         [0.0, 0.0, 0.05, 0.5, -0.3, 0.1], jnp.float32)))
-    n_src = cap.kf_store_corner + cap.kf_store_surf
-    src = np.zeros((n_src, 3), np.float32)
-    sel = rng.permutation(len(pts))[:n_src]
+    src = np.zeros((cap.icp_query_pad, 3), np.float32)
+    sel = rng.permutation(len(pts))[:800]
     Tinv = np.linalg.inv(T_true)
-    src[:len(sel)] = (pts[sel] @ Tinv[:3, :3].T +
-                      Tinv[:3, 3]).astype(np.float32)
-    srcm = np.zeros(n_src, bool)
-    srcm[:len(sel)] = True
+    src[:800] = (pts[sel] @ Tinv[:3, :3].T + Tinv[:3, 3]).astype(np.float32)
+    srcm = np.zeros(cap.icp_query_pad, bool)
+    srcm[:800] = True
 
     T_est, fit = icp.align(cfg, jnp.asarray(src), jnp.asarray(srcm),
                            jnp.asarray(dst), jnp.asarray(dstm))
