@@ -163,6 +163,13 @@ class OdometryConfig:
     research_every: int = 2
     nearest_sq_dist: float = 25.0        # utility.h:129 nearestFeatureSearchSqDist
     near_ring_span: float = 2.5          # fA.cpp:1082,1190 (ring window)
+    # Ring-blocked correspondence search: exact reformulation of the flat
+    # (Q,T) argmin chains as per-ring min tables over a (R,P) target
+    # layout, ~4x cheaper per research (odometry.ring_block).  P bounds the
+    # NN targets kept per ring (overflow thins only the densest ring).
+    ring_blocked_nn: bool = False
+    ring_p_corner: int = 128             # >= 20 less-sharp/section * 6
+    ring_p_surf: int = 512               # >= per-ring less-flat after DS
     robust_after_iter: int = 5           # fA.cpp:1137,1251
     robust_slope: float = 1.8            # fA.cpp:1138 s = 1 - 1.8|d|
     robust_min_weight: float = 0.1       # fA.cpp:1142,1256 (s <= 0.1 dropped)

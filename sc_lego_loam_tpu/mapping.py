@@ -38,9 +38,9 @@ def _make_knn5(submap, submap_mask, m):
     import os
     if jax.default_backend() == "tpu" and \
             os.environ.get("SCLOAM_NO_PALLAS", "0") != "1":
-        tpad, tt = pallas_knn.prepare_targets(submap, submap_mask)
+        tpad, tt, cnt = pallas_knn.prepare_targets(submap, submap_mask)
         return lambda q: pallas_knn.knn_pallas_prepared(
-            q, tpad, tt, k=m.knn, max_sq_dist=4.0 * m.max_nn_sq_dist)
+            q, tpad, tt, cnt, k=m.knn, max_sq_dist=4.0 * m.max_nn_sq_dist)
     return lambda q: knn.knn(q, submap, submap_mask, m.knn)
 
 _BIG = jnp.float32(1e18)
@@ -236,9 +236,12 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
 
         n_sel = (w > 0).sum()
         delta, H, _ = solver.gauss_newton_step(J, r, w, damping=1e-6)
-        Pm_new, degen_new = solver.degeneracy_projector(H, m.eig_threshold)
-        Pm = jnp.where(it == 0, Pm_new, Pm)
-        degen = jnp.where(it == 0, degen_new, degen)
+        # Degeneracy eigh only on iteration 0 (matP computed once,
+        # mO.cpp:1450-1477); cond skips the iterative eigh kernel after.
+        Pm, degen = jax.lax.cond(
+            it == 0,
+            lambda: solver.degeneracy_projector(H, m.eig_threshold),
+            lambda: (Pm, degen))
         delta = jnp.where(degen, Pm @ delta, delta)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         # Minimum-correspondence guard (mO.cpp:1410).

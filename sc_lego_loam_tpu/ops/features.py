@@ -148,41 +148,91 @@ def _onehot_mark(W, pos, mask):
     )(flat_pos, flat_mask)
 
 
+def _greedy_pick(pos, has, chain_id, feat: FeatureConfig):
+    """Greedy pick-and-suppress on a per-section candidate list.
+
+    Candidates come rank-sorted (best first, from top_k).  Candidate r is
+    picked iff no better already-picked candidate sits within
+    +-suppress_halfwidth compacted positions on an unbroken column-gap
+    chain — the reference's sequential walk (fA.cpp:699-769) restated on
+    the candidate set: "all consecutive gaps between p and q <=
+    suppress_col_gap" is equivalent to equal prefix-sums of gap breaks
+    (``chain_id``).  The loop runs over the tiny (H,S,KC) candidate tensor
+    instead of the full (H,S,W) grid that the round-based implementation
+    swept once per pick (24 full-grid argmax+scatter rounds -> ~40
+    micro-ops).  Returns picked (H,S,KC) bool.
+    """
+    KC = pos.shape[-1]
+    near = jnp.abs(pos[..., :, None] - pos[..., None, :]) \
+        <= feat.suppress_halfwidth
+    same_chain = chain_id[..., :, None] == chain_id[..., None, :]
+    M = near & same_chain & has[..., :, None] & has[..., None, :]
+    picked = jnp.zeros(pos.shape, bool).at[..., 0].set(has[..., 0])
+    for r in range(1, KC):
+        supp = (picked[..., :r] & M[..., :r, r]).any(-1)
+        picked = picked.at[..., r].set(has[..., r] & ~supp)
+    return picked
+
+
+def _scatter_label(label, pos, flag, val):
+    """label[h, pos[h,s,c]] <- val where flag (per ring, tiny scatters)."""
+    H, W = label.shape
+    p = pos.reshape(H, -1)
+    f = flag.reshape(H, -1)
+    upd = jax.vmap(
+        lambda pr, fr: jnp.zeros((W,), jnp.int8).at[
+            jnp.where(fr, pr, W)].max(jnp.int8(1), mode="drop")
+    )(p, f).astype(bool)
+    return jnp.where(upd, jnp.int8(val), label)
+
+
 def extract(cloud: SegmentedCloud, feat: FeatureConfig,
             cap: CapacityConfig) -> FeatureSet:
     H, W = cloud.rng.shape
     S = feat.sections
     curv, curv_ok = curvature(cloud, feat)
     occl = occlusion_mask(cloud, feat)
-    picked = occl
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    pos_w = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     n = jnp.maximum(cloud.count, 1)[:, None]
-    sec_id = jnp.minimum((pos * S) // n, S - 1)           # (H,W)
-    sec_onehot = sec_id[:, None, :] == jnp.arange(S)[None, :, None]  # (H,S,W)
+    sec_id = jnp.minimum((pos_w * S) // n, S - 1)          # (H,W)
+    sec_onehot = sec_id[:, None, :] == jnp.arange(S)[None, :, None]
+
+    # Column-gap chain ids: suppression never crosses a compacted-neighbor
+    # gap > suppress_col_gap (fA.cpp:720-732); equal prefix-sum of breaks
+    # <=> unbroken chain between two positions.
+    brk = jnp.abs(cloud.col - jnp.roll(cloud.col, 1, 1)) > feat.suppress_col_gap
+    brk = brk.at[:, 0].set(False)
+    chain = jnp.cumsum(brk.astype(jnp.int32), axis=1)      # (H,W)
+
+    def gather_row(a, idx):
+        return jax.vmap(lambda ar, ir: ar[ir])(
+            a, idx.reshape(H, -1)).reshape(idx.shape)
+
+    NEG = jnp.float32(-1.0)
+
+    # ---- edge picks: one top-KC pass + greedy suppression ----
+    KC = 32   # > edge_less_per_section; headroom for suppressed candidates
+    cand = curv_ok & ~occl & (curv > feat.edge_threshold) & ~cloud.ground
+    score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], NEG)
+    val, pos = jax.lax.top_k(score, KC)                    # (H,S,KC) desc
+    has = val > 0.0
+    picked = _greedy_pick(pos, has, gather_row(chain, pos), feat)
+    rank = jnp.cumsum(picked.astype(jnp.int32), -1)
+    sharp_f = picked & (rank <= feat.edge_per_section)
+    less_f = picked & (rank <= feat.edge_less_per_section)
 
     label = jnp.zeros((H, W), jnp.int8)
-    NEG = jnp.float32(-1.0)
-    BIG = jnp.float32(1e18)
+    label = _scatter_label(label, pos, less_f, 1)
+    label = _scatter_label(label, pos, sharp_f, 2)
 
-    def edge_iter(k, state):
-        label, picked = state
-        cand = curv_ok & ~picked & (curv > feat.edge_threshold) & ~cloud.ground
-        score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], NEG)
-        idx = jnp.argmax(score, -1).astype(jnp.int32)      # (H,S)
-        val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
-        has = val > 0.0
-        lab_val = jnp.where(k < feat.edge_per_section, jnp.int8(2), jnp.int8(1))
-        pick_plane = _onehot_mark(W, idx[..., None], has[..., None])
-        label = jnp.where(pick_plane, jnp.maximum(label, lab_val), label)
-        spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
-        smask &= has[..., None]
-        picked = picked | _onehot_mark(W, spos, smask)
-        return label, picked
+    # Suppression zones of the edge picks, for the surf phase (one pass).
+    spos, smask = _suppress_positions(cloud.col, pos.reshape(H, -1),
+                                      cloud.count, feat)
+    smask &= less_f.reshape(H, -1)[..., None]
+    supp_map = _onehot_mark(W, spos, smask)
 
-    label, picked = jax.lax.fori_loop(
-        0, feat.edge_less_per_section, edge_iter, (label, picked))
-
+    # ---- surf picks ----
     # Ground planarity judged against ground neighbors only (see curvature).
     gcurv, _ = curvature(cloud, feat, neighbor_mask=cloud.ground & cloud.valid)
     # Ground is exempt from the occlusion/parallel-beam pre-mask: ground is
@@ -191,24 +241,19 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     # (fA.cpp marks +-5 compacted neighbors around any jump, which on short
     # ground runs pre-picks ALL of them).  Pick-suppression marks from the
     # edge phase still apply.
-    picked = picked & ~(occl & cloud.ground)
-
-    def surf_iter(k, state):
-        label, picked = state
-        cand = curv_ok & ~picked & (gcurv < feat.surf_threshold) & cloud.ground
-        score = jnp.where(cand[:, None, :] & sec_onehot, gcurv[:, None, :], BIG)
-        idx = jnp.argmin(score, -1).astype(jnp.int32)
-        val = jnp.take_along_axis(score, idx[..., None], -1)[..., 0]
-        has = val < BIG * 0.5
-        pick_plane = _onehot_mark(W, idx[..., None], has[..., None])
-        label = jnp.where(pick_plane, jnp.int8(-1), label)
-        spos, smask = _suppress_positions(cloud.col, idx, cloud.count, feat)
-        smask &= has[..., None]
-        picked = picked | _onehot_mark(W, spos, smask)
-        return label, picked
-
-    label, picked = jax.lax.fori_loop(
-        0, feat.surf_per_section, surf_iter, (label, picked))
+    KS = 8
+    _BIG_F = jnp.float32(1e18)
+    excl = supp_map | (occl & ~cloud.ground)
+    cand_s = curv_ok & ~excl & (gcurv < feat.surf_threshold) & cloud.ground
+    score_s = jnp.where(cand_s[:, None, :] & sec_onehot,
+                        -gcurv[:, None, :], -_BIG_F)
+    val_s, pos_s = jax.lax.top_k(score_s, KS)
+    has_s = val_s > -_BIG_F * 0.5
+    picked_s = _greedy_pick(pos_s, has_s, gather_row(chain, pos_s), feat)
+    rank_s = jnp.cumsum(picked_s.astype(jnp.int32), -1)
+    flat_f = picked_s & (rank_s <= feat.surf_per_section)
+    neg = _scatter_label(jnp.zeros((H, W), jnp.int8), pos_s, flat_f, 1)
+    label = jnp.where(neg.astype(bool) & (label == 0), jnp.int8(-1), label)
 
     rings = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 

@@ -27,10 +27,10 @@ def _make_nn1(dst, dst_mask):
     max_sq_dist 64 keeps quantization fine enough for the fitness gate;
     1-NN through the chunk-candidate kernel is exact."""
     if jax.default_backend() == "tpu":
-        tpad, tt = pallas_knn.prepare_targets(dst, dst_mask)
+        tpad, tt, cnt = pallas_knn.prepare_targets(dst, dst_mask)
 
         def nn(p):
-            idx, sqd = pallas_knn.knn_pallas_prepared(p, tpad, tt, k=1,
+            idx, sqd = pallas_knn.knn_pallas_prepared(p, tpad, tt, cnt, k=1,
                                                       max_sq_dist=64.0)
             return idx[:, 0], sqd[:, 0]
 

@@ -42,40 +42,57 @@ _IDX_MASK = (1 << _IDX_BITS) - 1
 _MAXKEY = 2 ** 31 - 1   # python int: jnp constants get captured by pallas
 
 
-def _kernel(q_ref, t_ref, tt_ref, out_ref, *, block_t, scale):
-    q = q_ref[:]                                   # (TQ, 8); cols 3..7 zero
-    qq = jnp.sum(q * q, -1, keepdims=True)         # (TQ, 1)
-    TQ = q.shape[0]
-    t = t_ref[:]                                   # (8, BT)
-    tt = tt_ref[:]                                 # (1, BT)
-    dots = jax.lax.dot_general(
-        q, t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (TQ, BT)
-    d = jnp.maximum(qq + tt - 2.0 * dots, 0.0)
-    dq = jnp.clip(d * scale, 0, float((1 << (31 - _IDX_BITS)) - 2)
-                  ).astype(jnp.int32)
+def _kernel(cnt_ref, q_ref, t_ref, tt_ref, out_ref, *, block_t, scale):
+    """cnt_ref (SMEM scalar prefetch): number of VALID targets.  Target
+    banks are prefix-compacted (ops/compact.compact_indices), so any block
+    past the count is entirely invalid — skipped with one predicated
+    branch.  Kernel cost then tracks the submap's true occupancy, not its
+    static pad (typically 3-5x smaller)."""
     j = pl.program_id(1)
-    gidx = j * block_t + jax.lax.broadcasted_iota(
-        jnp.int32, (TQ, block_t), 1)
-    key = (dq << _IDX_BITS) | (gidx & _IDX_MASK)
-    # STRIDED chunks: output lane l holds min over targets {l, 128+l, ...}
-    # within the block — a reduction over the middle (vreg) axis, which is
-    # pure element-wise vreg mins.  Reducing over the last axis instead
-    # (contiguous chunks) needs log2(128) in-register lane shuffles per
-    # vreg and measured ~10x slower.  Chunk membership is internal: the
-    # packed key carries the true target index, so callers are unaffected.
-    out_ref[:] = jnp.min(key.reshape(TQ, block_t // _CHUNK, _CHUNK), axis=1)
+
+    @pl.when(j * block_t < cnt_ref[0])
+    def _live():
+        q = q_ref[:]                               # (TQ, 8); cols 3..7 zero
+        qq = jnp.sum(q * q, -1, keepdims=True)     # (TQ, 1)
+        TQ = q.shape[0]
+        t = t_ref[:]                               # (8, BT)
+        tt = tt_ref[:]                             # (1, BT)
+        dots = jax.lax.dot_general(
+            q, t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (TQ, BT)
+        d = jnp.maximum(qq + tt - 2.0 * dots, 0.0)
+        dq = jnp.clip(d * scale, 0, float((1 << (31 - _IDX_BITS)) - 2)
+                      ).astype(jnp.int32)
+        gidx = j * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, (TQ, block_t), 1)
+        key = (dq << _IDX_BITS) | (gidx & _IDX_MASK)
+        # STRIDED chunks: output lane l holds min over targets
+        # {l, 128+l, ...} within the block — a reduction over the middle
+        # (vreg) axis, which is pure element-wise vreg mins.  Reducing over
+        # the last axis instead (contiguous chunks) needs log2(128)
+        # in-register lane shuffles per vreg and measured ~10x slower.
+        # Chunk membership is internal: the packed key carries the true
+        # target index, so callers are unaffected.
+        out_ref[:] = jnp.min(
+            key.reshape(TQ, block_t // _CHUNK, _CHUNK), axis=1)
+
+    @pl.when(j * block_t >= cnt_ref[0])
+    def _dead():
+        out_ref[:] = jnp.full_like(out_ref, _MAXKEY)
 
 
 def prepare_targets(target: jnp.ndarray, target_mask: jnp.ndarray):
     """Loop-invariant target preprocessing: (8,T) transposed layout +
-    squared norms.  Hoist this out of LM loops — the transpose of a big
-    (T,3) array is the costliest part of a single query."""
+    squared norms + valid count (for dead-block skipping; valid targets
+    are a prefix by construction).  Hoist this out of LM loops — the
+    transpose of a big (T,3) array is the costliest part of a single
+    query."""
     T = target.shape[0]
     tgt = jnp.where(target_mask[:, None], target, 1e6)
     tpad = jnp.zeros((8, T), jnp.float32).at[:3, :].set(tgt.T)
     tt = jnp.sum(tpad * tpad, 0, keepdims=True)            # (1, T)
-    return tpad, tt
+    cnt = target_mask.sum().astype(jnp.int32)[None]        # (1,)
+    return tpad, tt, cnt
 
 
 @functools.partial(jax.jit,
@@ -92,19 +109,19 @@ def knn_pallas(query: jnp.ndarray, target: jnp.ndarray,
     quantization range — distances beyond it saturate (callers gate far
     below it). Returns (idx (Q,k), sqd (Q,k)).
     """
-    tpad, tt = prepare_targets(target, target_mask)
-    return knn_pallas_prepared(query, tpad, tt, k=k, max_sq_dist=max_sq_dist,
-                               tile_q=tile_q, block_t=block_t,
-                               interpret=interpret)
+    tpad, tt, cnt = prepare_targets(target, target_mask)
+    return knn_pallas_prepared(query, tpad, tt, cnt, k=k,
+                               max_sq_dist=max_sq_dist, tile_q=tile_q,
+                               block_t=block_t, interpret=interpret)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "max_sq_dist", "tile_q", "block_t",
                                     "interpret"))
 def knn_pallas_prepared(query: jnp.ndarray, tpad: jnp.ndarray,
-                        tt: jnp.ndarray, k: int = 5,
+                        tt: jnp.ndarray, cnt: jnp.ndarray, k: int = 5,
                         max_sq_dist: float = 4.0, tile_q: int = 64,
-                        block_t: int = 16384, interpret: bool = False):
+                        block_t: int = 8192, interpret: bool = False):
     Q = query.shape[0]
     T = tpad.shape[1]
     # Largest block <= requested that divides T (T need not be a power of
@@ -121,25 +138,25 @@ def knn_pallas_prepared(query: jnp.ndarray, tpad: jnp.ndarray,
     qpad = jnp.zeros((Q, 8), jnp.float32).at[:, :3].set(query)
 
     # Strided chunks: each block yields _CHUNK (=128, one per lane) minima,
-    # each over block_t/_CHUNK members.
+    # each over block_t/_CHUNK members.  The valid-target count rides in
+    # SMEM scalar prefetch; blocks past it are skipped (see _kernel).
     grid = (Q // tile_q, T // block_t)
     cmin = pl.pallas_call(
         functools.partial(_kernel, block_t=block_t, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_q, 8), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_t), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_t), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_q, _CHUNK), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_q, 8), lambda i, j, c: (i, 0)),
+                pl.BlockSpec((8, block_t), lambda i, j, c: (0, j)),
+                pl.BlockSpec((1, block_t), lambda i, j, c: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((tile_q, _CHUNK), lambda i, j, c: (i, j)),
+        ),
         out_shape=jax.ShapeDtypeStruct((Q, (T // block_t) * _CHUNK),
                                        jnp.int32),
         interpret=interpret,
-    )(qpad, tpad, tt)
+    )(cnt, qpad, tpad, tt)
 
     # Top-k chunk-minimum keys (ascending key = ascending distance).
     # k iterative masked mins instead of lax.top_k: top_k lowers to a full

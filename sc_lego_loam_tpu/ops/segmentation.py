@@ -81,14 +81,24 @@ def segment(img: RangeImage, ground: jnp.ndarray, lidar: LidarConfig,
     # needing more direction changes than rounds (deep spirals) would
     # split — irrelevant for real lidar clusters and gated by the
     # BFS-parity test.
+    # The (label, boundary-flag) pair is PACKED into one int32
+    # (label<<1 | flag, label <= H*W < 2^30): the scan then moves one
+    # array instead of two through its log-depth shift steps.  Segmented-
+    # min op on packed values: if b's flag is set the left operand cannot
+    # cross it, which `min(la + LOCK, lb)` realizes with LOCK > any label.
+    LOCK = jnp.int32(1 << 30)
+
     def seg_scan(vals, boundary, axis, reverse):
+        packed = (vals << 1) | boundary.astype(jnp.int32)
+
         def op(a, b):
-            va, fa = a
-            vb, fb = b
-            return jnp.where(fb, vb, jnp.minimum(va, vb)), fa | fb
-        v, _ = jax.lax.associative_scan(
-            op, (vals, boundary), axis=axis, reverse=reverse)
-        return v
+            la = a >> 1
+            lb = b >> 1
+            l = jnp.minimum(la + (b & 1) * LOCK, lb)
+            return (l << 1) | ((a | b) & 1)
+
+        v = jax.lax.associative_scan(op, packed, axis=axis, reverse=reverse)
+        return v >> 1
 
     def one_round(_, lab):
         # Rows, with horizontal wrap: double the width.

@@ -50,6 +50,42 @@ def robust_weight(abs_res: jnp.ndarray, slope: float, min_weight: float,
     return jnp.where(enabled, w, 1.0)
 
 
+def solve_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled-Cholesky solve for a single small (n<=8) SPD system.
+
+    jnp.linalg.solve lowers to a pivoted-LU LAPACK-style kernel on TPU
+    (~100 us of sequential control flow); the damped normal equations are
+    SPD, so an unrolled Cholesky — ~n^3/3 scalar ops that fuse into the
+    surrounding elementwise kernel — does the same work at VPU cost.
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    # Forward substitution L y = b.
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, -1)
+
+
 def gauss_newton_step(J: jnp.ndarray, r: jnp.ndarray, w: jnp.ndarray,
                       damping: float = 1e-6):
     """One damped GN step. J: (N,P), r: (N,), w: (N,) weights (0 = dropped).
@@ -58,7 +94,7 @@ def gauss_newton_step(J: jnp.ndarray, r: jnp.ndarray, w: jnp.ndarray,
     H = Jw.T @ J
     g = Jw.T @ r
     P = J.shape[1]
-    delta = jnp.linalg.solve(H + damping * jnp.eye(P, dtype=J.dtype), -g)
+    delta = solve_spd(H + damping * jnp.eye(P, dtype=J.dtype), -g)
     return delta, H, g
 
 
