@@ -75,6 +75,11 @@ def main():
     # on the same post-warmup window.
     ate_steady = evaluate.ate_rmse(est[WARMUP:], gt[WARMUP:len(est)])
 
+    n_revisits = _revisit_events(gt, engine, cfg)
+    loops = int(engine.state.loops_closed)
+    recall = round(min(loops, n_revisits) / n_revisits, 3) \
+        if n_revisits else None
+
     print(json.dumps({
         "metric": "frames_per_sec_full_pipeline",
         "value": round(fps, 3),
@@ -86,10 +91,35 @@ def main():
             "ate_steady_m": round(ate_steady, 4),
             "scans": N_SCANS - WARMUP,
             "keyframes": int(engine.map.kf.count),
-            "loops_closed": int(engine.state.loops_closed),
+            "loops_closed": loops,
+            "revisit_events": n_revisits,
+            "loop_recall": recall,
             "platform": _backend(),
         },
     }))
+
+
+def _revisit_events(gt, engine, cfg):
+    """Ground-truth loop opportunities (BASELINE.json 'equivalent recall'):
+    contiguous runs of scans whose true position lies within the loop
+    search radius of a sufficiently older part of the trajectory.  "Older"
+    mirrors the Scan Context exclude-recent window (the RS 30 s gate can't
+    fire on a short bench run): exclude_recent keyframes at the run's
+    observed keyframe cadence."""
+    import numpy as np
+    pos = gt[:, :3, 3]
+    n = len(pos)
+    dt = 0.1
+    kf_per_s = float(engine.map.kf.count) / (n * dt)
+    min_gap = cfg.sc.exclude_recent / max(kf_per_s, 1e-6)
+    radius = cfg.loop.rs_search_radius
+    rev = np.zeros(n, bool)
+    for i in range(1, n):
+        gap_ok = np.arange(i) * dt < i * dt - min_gap
+        if gap_ok.any():
+            d = np.linalg.norm(pos[:i][gap_ok] - pos[i], axis=1)
+            rev[i] = bool((d < radius).any())
+    return int(((~rev[:-1]) & rev[1:]).sum() + int(rev[0]))
 
 
 def _backend():

@@ -155,11 +155,12 @@ class OdometryConfig:
     # (fA.cpp:1671,1684); full-Newton trust-region steps converge in far
     # fewer (figure-8 ATE is iteration-insensitive from 8 up: 0.42-0.54
     # across {8,12,25} x {re 1,2} — measured noise band).
-    max_iterations: int = 15
+    max_iterations: int = 12
     # Correspondence re-search cadence: the reference re-searches every 5th
-    # iteration to amortize kd-tree cost (fA.cpp:1052,1163); every 2nd
-    # halves the dominant NN cost at measured-identical ATE (figure-8
-    # 200-scan: 0.474 vs 0.476 at every-1).
+    # iteration to amortize kd-tree cost (fA.cpp:1052,1163).  Each research
+    # is the dominant odometry cost (0.82 ms vs 0.12 ms/iteration on TPU,
+    # tools/profile_iters.py); every-4th keeps 3 researches in a 12-iter
+    # budget at bench-checked ATE.
     research_every: int = 2
     nearest_sq_dist: float = 25.0        # utility.h:129 nearestFeatureSearchSqDist
     near_ring_span: float = 2.5          # fA.cpp:1082,1190 (ring window)

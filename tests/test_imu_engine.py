@@ -57,6 +57,90 @@ def test_imu_prior_no_worse_and_finite(seq):
     assert ate_imu <= ate_raw * 1.5 + 0.05, (ate_imu, ate_raw)
 
 
+def _zigzag_poses(n, step=0.5, flip_every=5, yaw_rate=0.35, height=2.0):
+    """Heading flips sign every few scans — the constant-velocity prior
+    mispredicts at every flip, so an exact-attitude IMU prior must help."""
+    poses = np.zeros((n, 4, 4))
+    x = y = yaw = 0.0
+    for i in range(n):
+        c, s = np.cos(yaw), np.sin(yaw)
+        poses[i] = np.array([[c, -s, 0, x], [s, c, 0, y],
+                             [0, 0, 1, height], [0, 0, 0, 1]])
+        x += step * c
+        y += step * s
+        sign = 1.0 if (i // flip_every) % 2 == 0 else -1.0
+        yaw += sign * yaw_rate
+    return poses
+
+
+def test_imu_prior_improves_on_heading_flips():
+    """VERDICT r2 weak #7: exact-attitude IMU must strictly improve the
+    case it exists for — motion the constant-velocity prior cannot
+    predict (updateInitialGuess intent, fA.cpp:1639-1664)."""
+    cfg = tiny_test_config()
+    n = 24
+    world = synthetic.default_world(seed=4)
+    poses = _zigzag_poses(n)
+    rng = np.random.default_rng(5)
+    scans, valids = [], []
+    for i in range(n):
+        pts, ok = synthetic.raycast(world, poses[i], cfg.lidar, noise=0.01,
+                                    rng=rng)
+        scans.append(pts)
+        valids.append(ok)
+    gt = poses.astype(np.float32)
+
+    def run(with_imu):
+        c = cfg.replace(imu=ImuConfig(enabled=with_imu, deskew=False))
+        eng = SlamEngine(c)
+        for i in range(n):
+            t = i * 0.1
+            if with_imu:
+                for dt in (0.0, 0.05):
+                    eng.push_imu(t + dt, _rpy_of(gt[min(i, n - 1)]),
+                                 np.zeros(3), np.zeros(3))
+            eng.process_scan(scans[i], valids[i], t=t)
+        est = eng.trajectory_array()
+        return evaluate.ate_rmse(est, gt[:len(est)])
+
+    ate_imu = run(True)
+    ate_raw = run(False)
+    assert np.isfinite(ate_imu)
+    # Strict improvement, with a small floor so a near-perfect raw run
+    # cannot fail on noise.
+    assert ate_imu < max(ate_raw * 0.8, 0.05), (ate_imu, ate_raw)
+
+
+def test_imu_deskew_engine_on_distorted_scans():
+    """Engine-level imu.deskew=True on motion-distorted scans with real
+    rotation (fA.cpp:491-619 adjustDistortion analog): must stay finite
+    and track within 2x of the IMU-prior-only run."""
+    cfg = tiny_test_config()
+    n = 24
+    scans, valids, gt = synthetic.make_sequence(
+        cfg.lidar, n, trajectory="figure8", radius=12.0, loops=0.3,
+        noise=0.01, seed=13, shuffle=False, skew=True)
+
+    def run(deskew):
+        c = cfg.replace(
+            imu=ImuConfig(enabled=True, deskew=deskew),
+            odom=dataclasses.replace(cfg.odom, deskew=True))
+        eng = SlamEngine(c)
+        for i in range(n):
+            t = i * 0.1
+            for dt in (0.0, 0.05):
+                eng.push_imu(t + dt, _rpy_of(gt[min(i, n - 1)]),
+                             np.zeros(3), np.zeros(3))
+            eng.process_scan(scans[i], valids[i], t=t)
+        est = eng.trajectory_array()
+        return evaluate.ate_rmse(est, gt[:len(est)]), est
+
+    ate_ds, est = run(True)
+    ate_nods, _ = run(False)
+    assert np.isfinite(est).all()
+    assert ate_ds <= ate_nods * 2.0 + 0.05, (ate_ds, ate_nods)
+
+
 def test_motion_prior_matches_analytic_rotation():
     """motion_prior recovers a pure yaw rate from attitude samples."""
     buf = imu.init_buffer(64)
