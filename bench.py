@@ -76,7 +76,7 @@ def main():
     ate_steady = evaluate.ate_rmse(est[WARMUP:], gt[WARMUP:len(est)])
 
     n_revisits = _revisit_events(gt, engine, cfg)
-    loops = int(engine.state.loops_closed)
+    loops = int(engine.loops_closed)
     recall = round(min(loops, n_revisits) / n_revisits, 3) \
         if n_revisits else None
 

@@ -280,7 +280,10 @@ class LoopClosureConfig:
     icp_eps: float = 1e-6                # mO.cpp:1009
     cauchy_k: float = 1.0                # mO.cpp:995 Cauchy::Create(1)
     loop_noise_var: float = 0.5          # mO.cpp:991 noiseScore
-    check_every_keyframes: int = 3       # host cadence analog of the 1 Hz thread
+    # Loop-check cadence: every Nth MAPPING TICK (host-scheduled, like the
+    # mapping interval itself).  The reference's 1 Hz loop thread vs its
+    # ~3.3 Hz mapping rate (mO.cpp:834, utility.h:109) = every ~3rd tick.
+    check_every_ticks: int = 3
 
 
 @dataclass(frozen=True)

@@ -169,10 +169,12 @@ def device_tick(config: PipelineConfig, kf: KeyframeStore,
 
     closed = sc_ok | rs_ok
 
-    def resolve(kf):
-        new_poses = posegraph.solve(config, kf.poses6, kf.count,
-                                    kf.odom_z, loops)
-        return kf._replace(poses6=new_poses)
-
-    kf = jax.lax.cond(closed, resolve, lambda k: k, kf)
-    return kf, loops, closed
+    # Re-solve under cond, producing ONLY the (K,6) pose array — never the
+    # whole keyframe store: XLA conditionals copy branch-written buffers,
+    # and the cloud banks are ~700 MB (see pipeline.py).
+    new_poses = jax.lax.cond(
+        closed,
+        lambda: posegraph.solve(config, kf.poses6, kf.count, kf.odom_z,
+                                loops),
+        lambda: kf.poses6)
+    return kf._replace(poses6=new_poses), loops, closed

@@ -281,36 +281,52 @@ def downsample_scan(config: PipelineConfig,
     return c, cm, s, sm, o, om
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=(1,))
 def insert_keyframe(config: PipelineConfig, kf: KeyframeStore,
+                    should: jnp.ndarray,
                     pose: jnp.ndarray, time: jnp.ndarray,
                     corner: jnp.ndarray, corner_mask: jnp.ndarray,
                     surf: jnp.ndarray, surf_mask: jnp.ndarray,
-                    outlier: jnp.ndarray, outlier_mask: jnp.ndarray
-                    ) -> KeyframeStore:
-    """Append a keyframe (saveKeyFramesAndFactor, mO.cpp:1525-1639).
+                    outlier: jnp.ndarray, outlier_mask: jnp.ndarray):
+    """Guarded keyframe append (saveKeyFramesAndFactor, mO.cpp:1525-1639).
     Clouds are stored in the sensor frame; pose as a 6-vec.  Also records
     the pose-graph odometry factor (prior for node 0, between otherwise,
-    mO.cpp:1544-1560)."""
-    i = jnp.minimum(kf.count, config.cap.max_keyframes - 1)
+    mO.cpp:1544-1560).
+
+    Returns (kf, inserted).  Cond-free by design (this runs on the donated
+    engine state, and XLA conditionals cannot alias donated buffers a
+    branch writes — see pipeline.py): the candidate keyframe is ALWAYS
+    written at slot ``count`` — invisible, since every reader masks by
+    ``< count`` — and ``should`` merely bumps the count.  When the bank is
+    full the write re-writes the last slot's own contents (a one-slot
+    gather+select, ~100 KB) and the keyframe is dropped: the map stops
+    growing rather than silently corrupting the newest keyframe."""
+    K = config.cap.max_keyframes
+    room = kf.count < K
+    i = jnp.minimum(kf.count, K - 1)
+    inserted = should & room
+
+    def put(bank, new):
+        return bank.at[i].set(jnp.where(room, new, bank[i]))
+
     prev = se3.pose6_to_mat(kf.poses6[jnp.maximum(i - 1, 0)])
     z = jnp.where(i == 0, pose, se3.mat_inv(prev) @ pose)
-    return kf._replace(
-        odom_z=kf.odom_z.at[i].set(z),
-        poses6=kf.poses6.at[i].set(se3.mat_to_pose6(pose)),
-        times=kf.times.at[i].set(time),
-        corner=kf.corner.at[i].set(corner),
-        corner_mask=kf.corner_mask.at[i].set(corner_mask),
-        surf=kf.surf.at[i].set(surf),
-        surf_mask=kf.surf_mask.at[i].set(surf_mask),
-        outlier=kf.outlier.at[i].set(outlier),
-        outlier_mask=kf.outlier_mask.at[i].set(outlier_mask),
-        count=jnp.minimum(kf.count + 1, config.cap.max_keyframes),
+    kf = kf._replace(
+        odom_z=put(kf.odom_z, z),
+        poses6=put(kf.poses6, se3.mat_to_pose6(pose)),
+        times=put(kf.times, time),
+        corner=put(kf.corner, corner),
+        corner_mask=put(kf.corner_mask, corner_mask),
+        surf=put(kf.surf, surf),
+        surf_mask=put(kf.surf_mask, surf_mask),
+        outlier=put(kf.outlier, outlier),
+        outlier_mask=put(kf.outlier_mask, outlier_mask),
+        count=kf.count + inserted.astype(jnp.int32),
     )
+    return kf, inserted
 
 
-def should_insert_keyframe(config: PipelineConfig, state: MapState,
+def should_insert_keyframe(config: PipelineConfig, last_kf_pose: jnp.ndarray,
                            pose: jnp.ndarray) -> jnp.ndarray:
     """Keyframe if moved >= keyframe_dist (mO.cpp:1531-1538)."""
-    d = jnp.linalg.norm(pose[:3, 3] - state.last_kf_pose[:3, 3])
+    d = jnp.linalg.norm(pose[:3, 3] - last_kf_pose[:3, 3])
     return d >= config.mapping.keyframe_dist

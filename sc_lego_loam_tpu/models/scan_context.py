@@ -92,13 +92,22 @@ def sector_key(desc: jnp.ndarray) -> jnp.ndarray:
     return desc.mean(-2)
 
 
-def append(bank: DescriptorBank, desc: jnp.ndarray,
-           max_k: int) -> DescriptorBank:
+def append(bank: DescriptorBank, desc: jnp.ndarray, max_k: int,
+           should=None) -> DescriptorBank:
+    """Guarded append, mirroring mapping.insert_keyframe's cond-free slot
+    write: the descriptor is always written at slot ``count`` (invisible —
+    readers mask by ``< count``); ``should`` gates only the count bump.
+    When full, the write re-writes the last slot's own contents and the
+    descriptor is dropped (the bank tracks the keyframe bank exactly)."""
+    if should is None:
+        should = jnp.bool_(True)
+    room = bank.count < max_k
     i = jnp.minimum(bank.count, max_k - 1)
     return DescriptorBank(
-        desc=bank.desc.at[i].set(desc),
-        ringkey=bank.ringkey.at[i].set(ring_key(desc)),
-        count=jnp.minimum(bank.count + 1, max_k),
+        desc=bank.desc.at[i].set(jnp.where(room, desc, bank.desc[i])),
+        ringkey=bank.ringkey.at[i].set(
+            jnp.where(room, ring_key(desc), bank.ringkey[i])),
+        count=bank.count + (should & room).astype(jnp.int32),
     )
 
 

@@ -26,7 +26,7 @@ from .. import frontend, mapping, odometry
 from ..config import PipelineConfig
 from ..models import scan_context
 from ..ops import features as features_op
-from ..pipeline import _extract, _perception_step, _sc_input
+from ..pipeline import _extract, _odo_perception
 from ..utils import se3
 
 
@@ -54,7 +54,7 @@ class BatchEngine:
 
         @functools.partial(jax.jit, static_argnums=())
         def _batch_perception(points, masks, odo_state):
-            return jax.vmap(lambda p, m, s: _perception_step(cfg, p, m, s)
+            return jax.vmap(lambda p, m, s: _odo_perception(cfg, p, m, s)
                             )(points, masks, odo_state)
 
         @functools.partial(jax.jit, static_argnums=())
@@ -71,11 +71,9 @@ class BatchEngine:
                                            surf_qm, *sub)
                 corr = newp @ se3.mat_inv(pose)
                 ins = mapping.should_insert_keyframe(
-                    cfg, st._replace(pose=newp), newp)
-                kf_new = mapping.insert_keyframe(
-                    cfg, st.kf, newp, t, c, cm, s, sm, o, om)
-                kf = jax.tree.map(lambda a, b: jnp.where(ins, b, a),
-                                  st.kf, kf_new)
+                    cfg, st.last_kf_pose, newp)
+                kf, ins = mapping.insert_keyframe(
+                    cfg, st.kf, ins, newp, t, c, cm, s, sm, o, om)
                 st = st._replace(kf=kf, pose=newp, correction=corr,
                                  last_kf_pose=jnp.where(ins, newp,
                                                         st.last_kf_pose))
@@ -92,7 +90,7 @@ class BatchEngine:
         cfg = self.config
         points = jnp.asarray(points, jnp.float32)
         masks = jnp.asarray(masks, bool)
-        self.odo, odom_poses, _, out_pts, out_mask = self._batch_perception(
+        self.odo, odom_poses, out_pts, out_mask = self._batch_perception(
             points, masks, self.odo)
 
         if t - self.last_map_time >= cfg.mapping.process_interval:
@@ -101,15 +99,11 @@ class BatchEngine:
                 self.odo.corner_last.xyz, self.odo.corner_last.mask,
                 self.odo.surf_last.xyz, self.odo.surf_last.mask,
                 out_pts, out_mask, jnp.float32(t))
-            descs = jax.vmap(lambda p, m: _sc_input(cfg, p, m))(points, masks)
-            bank_new = jax.vmap(
-                lambda b, d: scan_context.append(b, d,
-                                                 cfg.cap.max_keyframes)
-            )(self.bank, descs)
-            self.bank = jax.tree.map(
-                lambda a, b: jnp.where(
-                    inserted.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
-                self.bank, bank_new)
+            self.bank = jax.vmap(
+                lambda b, p, m, ins: scan_context.append(
+                    b, scan_context.make_descriptor(p, m, cfg.sc),
+                    cfg.cap.max_keyframes, ins)
+            )(self.bank, points, masks, inserted)
             self.last_map_time = t
         fused = jax.vmap(lambda c, p: c @ p)(self.map.correction, odom_poses)
         for s in range(self.n_seq):

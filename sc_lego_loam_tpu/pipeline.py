@@ -1,24 +1,46 @@
-"""The full SLAM engine: one compiled device step per scan, zero host syncs.
+"""The full SLAM engine: three compiled device dispatches, zero host syncs.
 
 The reference runs four OS processes wired by ROS topics with
-timestamp-matching gates (SURVEY.md par.1).  Here the whole topic graph is
-ONE jitted function over device-resident state:
+timestamp-matching gates (SURVEY.md par.1).  Here the topic graph becomes
+THREE jitted functions over device-resident state, mirroring the
+reference's process split but asynchronously dispatched to one device
+queue:
 
-  raw scan -> frontend.run -> features -> odometry.step      (every scan)
-           -> [cond] scan-to-map + keyframe insert            (>= 0.3 s apart,
-                                                               utility.h:109)
-           -> [cond] SC/RS loop detect + ICP verify +         (every
-              pose-graph re-solve + correctPoses               check_every
-                                                               keyframes)
-           -> fused pose -> device trajectory ring buffer     (every scan)
+  perception_step   every scan      frontend -> features -> odometry ->
+                                    fused pose -> trajectory ring buffer
+                                    (imageProjection + featureAssociation +
+                                     transformFusion)
+  mapping_step      >= 0.3 s apart  submap gather -> scan-to-map LM ->
+                                    keyframe + descriptor insert
+                                    (mapOptmization::run, utility.h:109)
+  loop_step         every Nth       SC/RS detect -> ICP verify -> pose
+                    mapping tick    graph re-solve -> correctPoses
+                                    (loopClosureThread, mO.cpp:829-839)
 
-Why this shape: on this runtime a host<->device synchronization costs
-~25 ms while an async dispatch costs <0.5 ms, so ANY per-scan host readback
-(a `bool()` keyframe decision, a `np.asarray(pose)` trajectory append)
-dominates the frame budget.  Every decision the reference makes on the CPU
-between its nodes (keyframe-or-not, loop-or-not, correctPoses) therefore
-runs under `lax.cond` on device; the host only chooses the mapping cadence
-(it knows the scan timestamps) and fetches the trajectory once at the end.
+Why three dispatches instead of one fused step with `lax.cond` branches
+(the round-3 design): the keyframe/descriptor banks are ~700 MB, and XLA
+conditionals cannot alias donated buffers that a branch writes — every
+mapping-gated `cond` over the whole engine state paid full-bank HBM copies
+(~39 ms measured overhead per mapping scan vs ~16 ms of actual stage
+compute).  With the split, every bank update is an UNCONDITIONAL
+dynamic-update-slice on a donated buffer (in-place); the only `cond`s left
+gate small arrays (poses, loop factors).  The keyframe decision
+(mO.cpp:1531-1538) happens on device as a guarded slot write: the
+candidate keyframe is always written at slot `count` (invisible — every
+reader masks by `< count`) and `should_insert` merely bumps the count.
+
+Why a host-visible correction with one-scan lag is correct: the reference
+publishes the mapping correction asynchronously too — transformFusion
+(transformFusion.cpp:181-216) re-applies the LATEST received
+/aft_mapped_to_init to each 10 Hz odometry pose, which is exactly "the
+correction from the previous mapping tick".
+
+Host-side responsibilities are scheduling-only (the mapping cadence and
+the loop cadence are wall-clock gates in the reference); every numeric
+decision runs on device.  A host<->device synchronization costs ~25 ms on
+this runtime while an async dispatch costs <0.5 ms, so the host never
+reads device values in the hot loop; the trajectory is fetched once at the
+end of a run.
 """
 
 from __future__ import annotations
@@ -51,214 +73,214 @@ def _extract(config: PipelineConfig, cloud, outlier_grid):
     return fs, out_pts, ok
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _perception_step(config: PipelineConfig, points, mask, odo_state,
-                     imu_buf=None, t=None):
-    """Fused per-scan device step: frontend -> features -> odometry.
-    One dispatch per scan; XLA schedules the whole graph."""
+def _odo_perception(config: PipelineConfig, points, mask, odo_state):
+    """Frontend -> features -> odometry, no trajectory bookkeeping — the
+    vmappable core shared with parallel.batch.  Returns
+    (new_odo_state, odom_pose, out_pts, out_mask)."""
+    fo = frontend.run(config, points, mask)
+    fs, out_pts, out_mask = _extract(config, fo.cloud, fo.outlier)
+    odo, odom_pose, _ = odometry.step(config, odo_state, fs)
+    return odo, odom_pose, out_pts, out_mask
+
+
+class PerceptionState(NamedTuple):
+    """Device state of the every-scan path (reference processes 1, 2, 4)."""
+
+    odo: odometry.OdometryState
+    imu: imu_mod.ImuBuffer
+    # Fused-pose trajectory ring buffer (the /integrated_to_init stream).
+    traj: jnp.ndarray          # (max_scans, 4, 4)
+    traj_t: jnp.ndarray        # (max_scans,)
+    scan_i: jnp.ndarray        # () int32
+
+
+class MapperState(NamedTuple):
+    """Device state of the mapping/backend path (reference process 3)."""
+
+    kf: mapping.KeyframeStore
+    bank: scan_context.DescriptorBank
+    loops: posegraph.LoopFactors
+    correction: jnp.ndarray    # (4,4) map-from-odom drift correction
+    pose: jnp.ndarray          # (4,4) latest mapped pose
+    last_kf_pose: jnp.ndarray  # (4,4) pose at last keyframe insertion
+    last_kf_odom: jnp.ndarray  # (4,4) odometry pose at last keyframe
+    loops_closed: jnp.ndarray  # () int32 — total accepted loop factors
+    kf_dropped: jnp.ndarray    # () int32 — keyframes dropped at full bank
+
+
+def init_perception_state(config: PipelineConfig) -> PerceptionState:
+    cap = config.cap
+    state = PerceptionState(
+        odo=odometry.init_state(config),
+        imu=imu_mod.init_buffer(config.imu.que_len),
+        traj=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                              (cap.max_scans, 4, 4)).copy(),
+        traj_t=jnp.zeros((cap.max_scans,), jnp.float32),
+        scan_i=jnp.int32(0),
+    )
+    # The step donates this state; XLA rejects aliased buffers in a donated
+    # pytree (jnp constants like eye(4) are cached and shared), so give
+    # every leaf its own buffer.
+    return jax.tree.map(jnp.copy, state)
+
+
+def init_mapper_state(config: PipelineConfig) -> MapperState:
+    eye = jnp.eye(4, dtype=jnp.float32)
+    kf0 = mapping.init_state(config)
+    state = MapperState(
+        kf=kf0.kf,
+        bank=scan_context.init_bank(config),
+        loops=posegraph.init_loops(config),
+        correction=eye,
+        pose=eye,
+        last_kf_pose=kf0.last_kf_pose,
+        last_kf_odom=eye,
+        loops_closed=jnp.int32(0),
+        kf_dropped=jnp.int32(0),
+    )
+    return jax.tree.map(jnp.copy, state)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def perception_step(config: PipelineConfig, state: PerceptionState,
+                    correction, points, mask, t):
+    """Per-scan device step: frontend -> features -> odometry -> fusion.
+    One dispatch per scan; XLA schedules the whole graph.
+
+    Returns (state, odom_pose, out_pts, out_mask, fused_pose)."""
     cfg = config
     fo = frontend.run(cfg, points, mask)
-    if cfg.imu.enabled and cfg.imu.deskew and imu_buf is not None:
+    if cfg.imu.enabled and cfg.imu.deskew:
         # IMU point de-skew on the segmented cloud (adjustDistortion,
         # fA.cpp:491-619) — applied before feature extraction, as in the
         # reference; no-op until the buffer holds samples.
         cloud = fo.cloud
         shp = cloud.xyz.shape
         pts_d = imu_mod.deskew(
-            imu_buf, cloud.xyz.reshape(-1, 3), cloud.rel_time.reshape(-1),
+            state.imu, cloud.xyz.reshape(-1, 3), cloud.rel_time.reshape(-1),
             t, cfg.lidar.scan_period)
-        xyz = jnp.where(imu_buf.count > 1, pts_d.reshape(shp), cloud.xyz)
+        xyz = jnp.where(state.imu.count > 1, pts_d.reshape(shp), cloud.xyz)
         fo = fo._replace(cloud=cloud._replace(
             xyz=jnp.where(cloud.valid[..., None], xyz, 0.0)))
     fs, out_pts, out_mask = _extract(cfg, fo.cloud, fo.outlier)
-    if cfg.imu.enabled and cfg.imu.prior and imu_buf is not None:
+    if cfg.imu.enabled and cfg.imu.prior:
         # IMU initial guess (updateInitialGuess, fA.cpp:1639-1664): the
         # orientation delta is trusted (attitude is drift-bounded); the
         # dead-reckoned translation depends on an unobservable initial
         # velocity, so translation keeps the constant-velocity prior.
-        xi_imu = imu_mod.motion_prior(imu_buf, t,
+        xi_imu = imu_mod.motion_prior(state.imu, t,
                                       t + cfg.lidar.scan_period)
-        ok = (imu_buf.count > 1) & jnp.isfinite(xi_imu).all()
+        ok = (state.imu.count > 1) & jnp.isfinite(xi_imu).all()
         xi_prior = jnp.where(
             ok,
-            jnp.concatenate([xi_imu[:3], odo_state.motion[3:]]),
-            odo_state.motion)
+            jnp.concatenate([xi_imu[:3], state.odo.motion[3:]]),
+            state.odo.motion)
     else:
         xi_prior = None
-    new_state, odom_pose, xi = odometry.step(cfg, odo_state, fs, xi_prior)
-    return new_state, odom_pose, xi, out_pts, out_mask
+    odo, odom_pose, _ = odometry.step(cfg, state.odo, fs, xi_prior)
+
+    # High-rate fusion (transformFusion.cpp:94-179): one matrix multiply
+    # with the latest mapping correction (one mapping tick stale, exactly
+    # like the reference's async /aft_mapped_to_init re-application).
+    fused = correction @ odom_pose
+    i = jnp.minimum(state.scan_i, cfg.cap.max_scans - 1)
+    state = PerceptionState(
+        odo=odo, imu=state.imu,
+        traj=state.traj.at[i].set(fused),
+        traj_t=state.traj_t.at[i].set(t),
+        scan_i=state.scan_i + 1)
+    return state, odom_pose, out_pts, out_mask, fused
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _sc_input(config: PipelineConfig, points, mask):
-    """Scan Context descriptor from the raw cloud.
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def mapping_step(config: PipelineConfig, mst: MapperState,
+                 corner_xyz, corner_mask, surf_xyz, surf_mask,
+                 out_pts, out_mask, odom_pose, points, mask, t, imu_buf):
+    """One mapping tick (reference run(), mO.cpp:1673-1708):
+    submap -> scan-to-map LM -> correction -> guarded keyframe insert.
 
-    The reference voxel-downsamples first (mO.cpp:263,1626-1634) purely as
-    a CPU economy; the descriptor is a per-bin MAX, which downsampling can
-    only lower (centroids sit below the true max).  Scatter-max over the
-    raw cloud is both faster here and closer to the paper's definition."""
-    return scan_context.make_descriptor(points, mask, config.sc)
-
-
-@functools.partial(jax.jit, static_argnums=0)
-def _build_submap(config: PipelineConfig, kf):
-    return mapping.build_submap(config, kf)
-
-
-class EngineState(NamedTuple):
-    """Complete device-resident SLAM state (the analog of the combined
-    mutable state of the reference's four nodes)."""
-
-    odo: odometry.OdometryState
-    map: mapping.MapState
-    bank: scan_context.DescriptorBank
-    loops: posegraph.LoopFactors
-    imu: imu_mod.ImuBuffer
-    # Cached world-frame submap (extractSurroundingKeyFrames analog,
-    # mO.cpp:1122-1231) — rebuilt on keyframe insert / pose correction.
-    sub_c: jnp.ndarray
-    sub_cm: jnp.ndarray
-    sub_s: jnp.ndarray
-    sub_sm: jnp.ndarray
-    # Fused-pose trajectory ring buffer (the /integrated_to_init stream).
-    traj: jnp.ndarray          # (max_scans, 4, 4)
-    traj_t: jnp.ndarray        # (max_scans,)
-    scan_i: jnp.ndarray        # () int32
-    kf_since_check: jnp.ndarray  # () int32 — loop-check cadence counter
-    last_kf_odom: jnp.ndarray  # (4,4) odometry pose at last keyframe
-    loops_closed: jnp.ndarray  # () int32 — total accepted loop factors
-
-
-def init_engine_state(config: PipelineConfig) -> EngineState:
-    cap = config.cap
-    kf0 = mapping.init_state(config)
-    sub = _build_submap(config, kf0.kf)
-    state = EngineState(
-        odo=odometry.init_state(config),
-        map=kf0,
-        bank=scan_context.init_bank(config),
-        loops=posegraph.init_loops(config),
-        imu=imu_mod.init_buffer(config.imu.que_len),
-        sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3],
-        traj=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
-                              (cap.max_scans, 4, 4)).copy(),
-        traj_t=jnp.zeros((cap.max_scans,), jnp.float32),
-        scan_i=jnp.int32(0),
-        kf_since_check=jnp.int32(0),
-        last_kf_odom=jnp.eye(4, dtype=jnp.float32),
-        loops_closed=jnp.int32(0),
-    )
-    # engine_step donates the state; XLA rejects aliased buffers in a
-    # donated pytree (jnp constants like eye(4) are cached and shared), so
-    # give every leaf its own buffer.
-    return jax.tree.map(jnp.copy, state)
-
-
-def _mapping_tick(config: PipelineConfig, st: EngineState, points, mask,
-                  odom_pose, out_pts, out_mask, t) -> EngineState:
-    """Scan-to-map refinement + keyframe/loop logic (reference run(),
-    mO.cpp:1673-1708), all under device control flow."""
+    No `lax.cond` anywhere: the submap is rebuilt every tick (the
+    reference's extractSurroundingKeyFrames also runs per tick and the
+    keyframe cadence is ~1 insert/tick at the 0.3 m / 0.3 s rules), and
+    the insert is an unconditional slot write whose visibility is the
+    count bump."""
     cfg = config
 
+    # Submap from the CURRENT keyframe poses — built at tick start as in
+    # the reference, so a loop correction from loop_step is picked up
+    # immediately (correctPoses -> next tick's extractSurroundingKeyFrames).
+    sub_c, sub_cm, sub_s, sub_sm = mapping.build_submap(cfg, mst.kf)
+
     c, cm, s, sm, o, om = mapping.downsample_scan(
-        cfg, st.odo.corner_last.xyz, st.odo.corner_last.mask,
-        st.odo.surf_last.xyz, st.odo.surf_last.mask,
+        cfg, corner_xyz, corner_mask, surf_xyz, surf_mask,
         out_pts, out_mask)
 
-    T_guess = st.map.correction @ odom_pose
+    T_guess = mst.correction @ odom_pose
     surf_q = jnp.concatenate([s, o])
     surf_qm = jnp.concatenate([sm, om])
     pose = mapping.scan_to_map(cfg, T_guess, c, cm, surf_q, surf_qm,
-                               st.sub_c, st.sub_cm, st.sub_s, st.sub_sm)
+                               sub_c, sub_cm, sub_s, sub_sm)
     if cfg.imu.enabled:
         # transformUpdate (mO.cpp:484-517): blend a sliver of the IMU
         # roll/pitch into the mapped pose to bound long-horizon tilt drift.
-        rpy_i = imu_mod.rpy_at(st.imu, t)
+        rpy_i = imu_mod.rpy_at(imu_buf, t)
         p6 = se3.mat_to_pose6(pose)
         b = cfg.imu.blend
         p6b = p6.at[0].set((1 - b) * p6[0] + b * rpy_i[0])
         p6b = p6b.at[1].set((1 - b) * p6[1] + b * rpy_i[1])
-        pose = jnp.where(st.imu.count > 1, se3.pose6_to_mat(p6b), pose)
+        pose = jnp.where(imu_buf.count > 1, se3.pose6_to_mat(p6b), pose)
     correction = pose @ se3.mat_inv(odom_pose)
-    st = st._replace(map=st.map._replace(pose=pose, correction=correction))
 
-    def insert(st: EngineState) -> EngineState:
-        kf = mapping.insert_keyframe(
-            cfg, st.map.kf, pose, t, c, cm, s, sm, o, om)
-        desc = scan_context.make_descriptor(points, mask, cfg.sc)
-        bank = scan_context.append(st.bank, desc, cfg.cap.max_keyframes)
-        sub = mapping.build_submap(cfg, kf)
-        return st._replace(
-            map=st.map._replace(kf=kf, last_kf_pose=pose),
-            bank=bank,
-            sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3],
-            kf_since_check=st.kf_since_check + 1,
-            last_kf_odom=odom_pose)
+    # Keyframe decision (mO.cpp:1531-1538) + guarded insert.
+    should = mapping.should_insert_keyframe(cfg, mst.last_kf_pose, pose)
+    kf, inserted = mapping.insert_keyframe(
+        cfg, mst.kf, should, pose, t, c, cm, s, sm, o, om)
+    desc = scan_context.make_descriptor(points, mask, cfg.sc)
+    bank = scan_context.append(mst.bank, desc, cfg.cap.max_keyframes,
+                               should)
 
-    st = jax.lax.cond(
-        mapping.should_insert_keyframe(cfg, st.map, pose),
-        insert, lambda s: s, st)
-
-    if cfg.loop.enabled:
-        def loop_tick(st: EngineState) -> EngineState:
-            """1 Hz loop-closure thread analog (mO.cpp:829-839)."""
-            kf = st.map.kf
-            cur = jnp.maximum(kf.count - 1, 0)
-            kf, loops, closed = loop.device_tick(
-                cfg, kf, st.bank, st.loops, st.bank.desc[cur])
-
-            def apply_correction(st: EngineState) -> EngineState:
-                """correctPoses (mO.cpp:1642-1664): rewrite pose/correction
-                from the re-solved graph and rebuild the submap."""
-                new_pose = se3.pose6_to_mat(kf.poses6[cur])
-                corr = new_pose @ se3.mat_inv(st.last_kf_odom)
-                sub = mapping.build_submap(cfg, kf)
-                return st._replace(
-                    map=st.map._replace(pose=new_pose, correction=corr,
-                                        last_kf_pose=new_pose),
-                    sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3],
-                    loops_closed=st.loops_closed + 1)
-
-            st = st._replace(map=st.map._replace(kf=kf), loops=loops,
-                             kf_since_check=jnp.int32(0))
-            return jax.lax.cond(closed, apply_correction, lambda s: s, st)
-
-        st = jax.lax.cond(
-            st.kf_since_check >= cfg.loop.check_every_keyframes,
-            loop_tick, lambda s: s, st)
-    return st
+    return MapperState(
+        kf=kf, bank=bank, loops=mst.loops,
+        correction=correction, pose=pose,
+        last_kf_pose=jnp.where(inserted, pose, mst.last_kf_pose),
+        last_kf_odom=jnp.where(inserted, odom_pose, mst.last_kf_odom),
+        loops_closed=mst.loops_closed,
+        kf_dropped=mst.kf_dropped + (should & ~inserted))
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def engine_step(config: PipelineConfig, state: EngineState,
-                points, mask, t, do_mapping):
-    """One scan through the whole engine. Returns (state, fused_pose).
-
-    ``do_mapping`` (bool scalar) is the host-chosen mapping cadence — the
-    host knows the scan timestamps, so the >=0.3 s gate (utility.h:109)
-    stays host-side; everything else is device control flow."""
+def loop_step(config: PipelineConfig, mst: MapperState) -> MapperState:
+    """One loop-closure tick (loopClosureThread analog, mO.cpp:829-839):
+    SC + RS detection, ICP verification, factor insertion, pose-graph
+    re-solve and correctPoses — all on device.  The `lax.cond`s inside
+    gate only small arrays (poses6, loop factors); the big keyframe cloud
+    banks are read-only here, so nothing large is copied."""
     cfg = config
-    odo, odom_pose, _, out_pts, out_mask = _perception_step(
-        cfg, points, mask, state.odo, state.imu, t)
-    state = state._replace(odo=odo)
+    kf = mst.kf
+    cur = jnp.maximum(kf.count - 1, 0)
+    kf, loops, closed = loop.device_tick(
+        cfg, kf, mst.bank, mst.loops, mst.bank.desc[cur])
 
-    state = jax.lax.cond(
-        do_mapping,
-        lambda st: _mapping_tick(cfg, st, points, mask, odom_pose,
-                                 out_pts, out_mask, t),
-        lambda st: st, state)
+    def apply_correction(ops):
+        """correctPoses (mO.cpp:1642-1664): rewrite pose/correction from
+        the re-solved graph."""
+        _pose, _corr, _lkp, _n = ops
+        new_pose = se3.pose6_to_mat(kf.poses6[cur])
+        corr = new_pose @ se3.mat_inv(mst.last_kf_odom)
+        return new_pose, corr, new_pose, _n + 1
 
-    # High-rate fusion (transformFusion.cpp:94-179): one matrix multiply.
-    fused = state.map.correction @ odom_pose
-    i = jnp.minimum(state.scan_i, cfg.cap.max_scans - 1)
-    state = state._replace(
-        traj=state.traj.at[i].set(fused),
-        traj_t=state.traj_t.at[i].set(t),
-        scan_i=state.scan_i + 1)
-    return state, fused
+    pose, correction, last_kf_pose, loops_closed = jax.lax.cond(
+        closed, apply_correction, lambda ops: ops,
+        (mst.pose, mst.correction, mst.last_kf_pose, mst.loops_closed))
+
+    return MapperState(
+        kf=kf, bank=mst.bank, loops=loops,
+        correction=correction, pose=pose,
+        last_kf_pose=last_kf_pose, last_kf_odom=mst.last_kf_odom,
+        loops_closed=loops_closed, kf_dropped=mst.kf_dropped)
 
 
-def _shard_state(state: EngineState, mesh) -> EngineState:
+def _shard_mapper_state(mst: MapperState, mesh) -> MapperState:
     """Shard the trajectory-length-proportional banks over the 'kf' axis;
     everything else stays replicated (small, or updated every scan)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -266,7 +288,7 @@ def _shard_state(state: EngineState, mesh) -> EngineState:
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    kf = state.map.kf
+    kf = mst.kf
     kf = kf._replace(
         corner=put(kf.corner, P("kf")),
         corner_mask=put(kf.corner_mask, P("kf")),
@@ -275,35 +297,39 @@ def _shard_state(state: EngineState, mesh) -> EngineState:
         outlier=put(kf.outlier, P("kf")),
         outlier_mask=put(kf.outlier_mask, P("kf")),
     )
-    bank = state.bank._replace(
-        desc=put(state.bank.desc, P("kf")),
-        ringkey=put(state.bank.ringkey, P("kf")),
+    bank = mst.bank._replace(
+        desc=put(mst.bank.desc, P("kf")),
+        ringkey=put(mst.bank.ringkey, P("kf")),
     )
-    return state._replace(map=state.map._replace(kf=kf), bank=bank)
+    return mst._replace(kf=kf, bank=bank)
 
 
 class SlamEngine:
     """Single-sequence SLAM (BASELINE.json configs 1-3).
 
     Host-side responsibilities are scheduling-only: the mapping-cadence
-    gate and feeding scans.  `process_scan` performs no host sync — the
-    returned pose is a lazy device array; `trajectory_array()` fetches the
-    whole run with one sync.
+    and loop-cadence gates and feeding scans.  `process_scan` performs no
+    host sync — the returned pose is a lazy device array;
+    `trajectory_array()` fetches the whole run with one sync.
 
-    ``mesh``: optional Mesh with a 'kf' axis.  The keyframe cloud banks and
-    the Scan Context descriptor bank — the memory that grows with
-    trajectory length — are sharded over it; the jitted engine step then
-    runs SPMD with XLA-inserted collectives for the submap gathers and the
-    retrieval matmul (keyframe-bank scale-out, SURVEY.md par.5
-    "long-context" row)."""
+    ``mesh``: optional Mesh with a 'kf' axis.  The keyframe cloud banks
+    and the Scan Context descriptor bank — the memory that grows with
+    trajectory length — are sharded over it (`jax.device_put` +
+    NamedSharding); the jitted mapping/loop steps then run SPMD with
+    XLA-inserted collectives for the submap gathers and the retrieval
+    matmul (keyframe-bank scale-out, SURVEY.md par.5 "long-context" row).
+    """
 
     def __init__(self, config: PipelineConfig, mesh=None):
         self.config = config
         self.mesh = mesh
-        self.state = init_engine_state(config)
+        self.p = init_perception_state(config)
+        self.m = init_mapper_state(config)
         if mesh is not None:
-            self.state = _shard_state(self.state, mesh)
+            self.m = _shard_mapper_state(self.m, mesh)
+        self._correction = jnp.eye(4, dtype=jnp.float32)
         self.last_map_time = -1e9
+        self.map_ticks = 0
         self.timer = StageTimer()  # per-stage wall clock (SURVEY.md par.5)
         self._scans_fed = 0
         self._warned_kf_cap = False
@@ -318,38 +344,45 @@ class SlamEngine:
 
     @property
     def odo(self):
-        return self.state.odo
+        return self.p.odo
 
     @odo.setter
     def odo(self, v):
-        self.state = self.state._replace(odo=jax.tree.map(jnp.copy, v))
+        self.p = self.p._replace(odo=jax.tree.map(jnp.copy, v))
 
     @property
     def map(self):
-        return self.state.map
+        return mapping.MapState(
+            kf=self.m.kf, correction=self.m.correction, pose=self.m.pose,
+            last_kf_pose=self.m.last_kf_pose)
 
     @map.setter
-    def map(self, v):
-        self.state = self.state._replace(map=jax.tree.map(jnp.copy, v))
-        sub = _build_submap(self.config, v.kf)
-        self.state = self.state._replace(
-            sub_c=sub[0], sub_cm=sub[1], sub_s=sub[2], sub_sm=sub[3])
+    def map(self, v: mapping.MapState):
+        self.m = self.m._replace(
+            kf=jax.tree.map(jnp.copy, v.kf),
+            correction=jnp.copy(v.correction), pose=jnp.copy(v.pose),
+            last_kf_pose=jnp.copy(v.last_kf_pose))
+        self._correction = self.m.correction
 
     @property
     def bank(self):
-        return self.state.bank
+        return self.m.bank
 
     @bank.setter
     def bank(self, v):
-        self.state = self.state._replace(bank=jax.tree.map(jnp.copy, v))
+        self.m = self.m._replace(bank=jax.tree.map(jnp.copy, v))
 
     @property
     def loops(self):
-        return self.state.loops
+        return self.m.loops
 
     @loops.setter
     def loops(self, v):
-        self.state = self.state._replace(loops=jax.tree.map(jnp.copy, v))
+        self.m = self.m._replace(loops=jax.tree.map(jnp.copy, v))
+
+    @property
+    def loops_closed(self):
+        return self.m.loops_closed
 
     # ------------------------------------------------------------------ #
 
@@ -358,8 +391,8 @@ class SlamEngine:
         roll/pitch/yaw, body linear acceleration (m/s^2, gravity included),
         body angular rate (rad/s).  Push all samples with timestamps up to
         a scan's end before feeding that scan."""
-        self.state = self.state._replace(imu=imu_mod.push(
-            self.state.imu, jnp.float32(t),
+        self.p = self.p._replace(imu=imu_mod.push(
+            self.p.imu, jnp.float32(t),
             jnp.asarray(rpy, jnp.float32), jnp.asarray(acc, jnp.float32),
             jnp.asarray(gyro, jnp.float32)))
 
@@ -378,34 +411,50 @@ class SlamEngine:
                 "later poses overwrite the last slot; raise "
                 "CapacityConfig.max_scans", RuntimeWarning)
 
-        do_mapping = t - self.last_map_time >= cfg.mapping.process_interval
-        if do_mapping:
-            self.last_map_time = t
+        with self.timer.stage("perception"):
+            self.p, odom_pose, out_pts, out_mask, fused = perception_step(
+                cfg, self.p, self._correction, points, mask, jnp.float32(t))
 
-        with self.timer.stage("step"):
-            self.state, fused = engine_step(
-                cfg, self.state, points, mask, jnp.float32(t),
-                jnp.bool_(do_mapping))
+        if t - self.last_map_time >= cfg.mapping.process_interval:
+            self.last_map_time = t
+            with self.timer.stage("mapping"):
+                self.m = mapping_step(
+                    cfg, self.m,
+                    self.p.odo.corner_last.xyz, self.p.odo.corner_last.mask,
+                    self.p.odo.surf_last.xyz, self.p.odo.surf_last.mask,
+                    out_pts, out_mask, odom_pose, points, mask,
+                    jnp.float32(t), self.p.imu)
+                self._correction = self.m.correction
+            self.map_ticks += 1
+            # Loop-closure cadence: every Nth mapping tick (the reference's
+            # 1 Hz thread vs its ~3.3 Hz mapping = every ~3rd tick).
+            if cfg.loop.enabled and \
+                    self.map_ticks % cfg.loop.check_every_ticks == 0:
+                with self.timer.stage("loop"):
+                    self.m = loop_step(cfg, self.m)
+                    self._correction = self.m.correction
+
         if self._scans_fed % self.cap_check_every == 0:
             self._check_caps()
         return fused
 
     def _check_caps(self):
         """Warn (once each) when the keyframe bank or loop-factor bank hit
-        capacity — past the cap new inserts overwrite the last slot."""
+        capacity.  Policy past the cap: new KEYFRAMES are dropped (the map
+        stops growing; odometry and correction continue); new LOOP factors
+        ring-overwrite the oldest factor (posegraph.add_loop)."""
         import warnings
-        if not self._warned_kf_cap and \
-                int(self.state.map.kf.count) >= self.config.cap.max_keyframes:
+        if not self._warned_kf_cap and int(self.m.kf_dropped) > 0:
             warnings.warn(
-                f"keyframe bank full ({self.config.cap.max_keyframes}): new "
-                "keyframes overwrite the last slot; raise "
+                f"keyframe bank full ({self.config.cap.max_keyframes}): "
+                f"{int(self.m.kf_dropped)} keyframes dropped so far; raise "
                 "CapacityConfig.max_keyframes", RuntimeWarning)
             self._warned_kf_cap = True
         if not self._warned_loop_cap and \
-                int(self.state.loops.count) >= self.config.posegraph.max_loops:
+                int(self.m.loops.count) > self.config.posegraph.max_loops:
             warnings.warn(
-                f"loop-factor bank full ({self.config.posegraph.max_loops}): "
-                "new loop factors overwrite the last slot; raise "
+                f"loop-factor bank full ({self.config.posegraph.max_loops}):"
+                " oldest loop factors are being overwritten; raise "
                 "PoseGraphConfig.max_loops", RuntimeWarning)
             self._warned_loop_cap = True
 
@@ -413,10 +462,10 @@ class SlamEngine:
 
     def trajectory_array(self):
         """(N,4,4) fused trajectory so far (one device sync)."""
-        n = int(self.state.scan_i)
+        n = int(self.p.scan_i)
         self._check_caps()
-        return np.asarray(self.state.traj[:n])
+        return np.asarray(self.p.traj[:n])
 
     def trajectory_times(self):
-        n = int(self.state.scan_i)
-        return np.asarray(self.state.traj_t[:n])
+        n = int(self.p.scan_i)
+        return np.asarray(self.p.traj_t[:n])

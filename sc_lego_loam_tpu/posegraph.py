@@ -52,11 +52,18 @@ def init_loops(config: PipelineConfig, max_loops: int | None = None
 
 @jax.jit
 def add_loop(loops: LoopFactors, i, j, z) -> LoopFactors:
-    k = jnp.minimum(loops.count, loops.i.shape[0] - 1)
+    """Append a loop factor; past capacity the slot index wraps, RING-
+    OVERWRITING the oldest factor (newest constraints carry the freshest
+    geometry; the graph was already solved with the dropped one, so its
+    information persists in the pose estimates).  ``count`` keeps growing —
+    the number of ACTIVE factors is min(count, L) and overflow is
+    host-detectable as count > L (pipeline._check_caps)."""
+    L = loops.i.shape[0]
+    k = loops.count % L
     return LoopFactors(
         i=loops.i.at[k].set(i), j=loops.j.at[k].set(j),
         z=loops.z.at[k].set(z),
-        count=jnp.minimum(loops.count + 1, loops.i.shape[0]),
+        count=loops.count + 1,
     )
 
 

@@ -53,7 +53,7 @@ def run_stream(engine: SlamEngine,
             p = np.asarray(pose)[:3, 3]
             print(f"scan {n:5d}: pos=({p[0]:8.2f},{p[1]:8.2f},{p[2]:7.2f}) "
                   f"kf={int(engine.map.kf.count)} "
-                  f"loops={int(engine.state.loops_closed)}", flush=True)
+                  f"loops={int(engine.loops_closed)}", flush=True)
     if pose is not None:
         jax.block_until_ready(pose)
     fps = (n - warmup) / max(time.time() - t_wall, 1e-9) \
@@ -65,7 +65,7 @@ def run_stream(engine: SlamEngine,
         "est": est,
         "times": engine.trajectory_times(),
         "keyframes": int(engine.map.kf.count),
-        "loops_closed": int(engine.state.loops_closed),
+        "loops_closed": int(engine.loops_closed),
     }
 
 

@@ -25,6 +25,23 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache():
+    """Free compiled executables after every test module.
+
+    One pytest invocation over the whole suite compiles hundreds of
+    XLA:CPU programs across 8 virtual devices; with all of them kept
+    alive the run segfaults inside backend_compile ~70 tests in
+    (allocator pressure).  Dropping each module's executables bounds the
+    live set — cross-module cache reuse is negligible anyway (modules
+    use different configs/shapes)."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_sessionstart(session):
     backend = jax.default_backend()
     assert backend == "cpu", (

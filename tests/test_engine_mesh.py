@@ -24,7 +24,7 @@ def _cfg():
     return cfg.replace(
         sc=dataclasses.replace(cfg.sc, exclude_recent=10),
         loop=dataclasses.replace(
-            cfg.loop, check_every_keyframes=2, rs_time_gap=4.0,
+            cfg.loop, check_every_ticks=2, rs_time_gap=4.0,
             rs_search_radius=4.0),
     )
 
@@ -59,4 +59,4 @@ def test_engine_mesh_matches_single_device(seq):
     assert np.isfinite(t_sh).all()
     np.testing.assert_allclose(t_sh[:, :3, 3], t_ref[:, :3, 3], atol=1e-3)
     assert int(sh.map.kf.count) == int(ref.map.kf.count)
-    assert int(sh.state.loops_closed) == int(ref.state.loops_closed)
+    assert int(sh.loops_closed) == int(ref.loops_closed)

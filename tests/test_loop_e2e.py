@@ -27,7 +27,7 @@ def _cfg(loop_enabled: bool):
     return cfg.replace(
         sc=dataclasses.replace(cfg.sc, exclude_recent=10),
         loop=dataclasses.replace(
-            cfg.loop, enabled=loop_enabled, check_every_keyframes=2,
+            cfg.loop, enabled=loop_enabled, check_every_ticks=2,
             rs_time_gap=4.0, rs_search_radius=4.0),
     )
 
@@ -63,7 +63,7 @@ def noloop_run(seq):
 
 def test_loop_closure_fires(loop_run):
     engine, ate = loop_run
-    assert int(engine.state.loops_closed) >= 1, \
+    assert int(engine.loops_closed) >= 1, \
         "no loop closure fired on a revisiting trajectory"
     assert int(engine.loops.count) >= 1
 

@@ -129,14 +129,21 @@ def test_keyframe_insert_and_submap():
     pose2 = jnp.asarray(np.array(se3.se3_exp(jnp.asarray(
         [0, 0, 0.1, 1.0, 0, 0], jnp.float32))))
 
-    kf = mapping.insert_keyframe(cfg, st.kf, pose1, jnp.float32(0.0),
-                                 jnp.asarray(c), jnp.asarray(cm),
-                                 jnp.asarray(s), jnp.asarray(sm),
-                                 jnp.asarray(o), jnp.asarray(om))
-    kf = mapping.insert_keyframe(cfg, kf, pose2, jnp.float32(1.0),
-                                 jnp.asarray(c), jnp.asarray(cm),
-                                 jnp.asarray(s), jnp.asarray(sm),
-                                 jnp.asarray(o), jnp.asarray(om))
+    kf, ins1 = mapping.insert_keyframe(
+        cfg, st.kf, jnp.bool_(True), pose1, jnp.float32(0.0),
+        jnp.asarray(c), jnp.asarray(cm), jnp.asarray(s), jnp.asarray(sm),
+        jnp.asarray(o), jnp.asarray(om))
+    assert bool(ins1)
+    # A non-inserting tick's slot write must stay invisible.
+    kf, ins_no = mapping.insert_keyframe(
+        cfg, kf, jnp.bool_(False), pose2, jnp.float32(0.5),
+        jnp.asarray(c), jnp.asarray(cm), jnp.asarray(s), jnp.asarray(sm),
+        jnp.asarray(o), jnp.asarray(om))
+    assert not bool(ins_no) and int(kf.count) == 1
+    kf, _ = mapping.insert_keyframe(
+        cfg, kf, jnp.bool_(True), pose2, jnp.float32(1.0),
+        jnp.asarray(c), jnp.asarray(cm), jnp.asarray(s), jnp.asarray(sm),
+        jnp.asarray(o), jnp.asarray(om))
     assert int(kf.count) == 2
     # odom_z[1] must equal pose1^-1 @ pose2.
     np.testing.assert_allclose(np.asarray(kf.odom_z[1]),

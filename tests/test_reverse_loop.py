@@ -45,7 +45,7 @@ def test_reverse_loop_closes():
     cfg = tiny_test_config()
     cfg = cfg.replace(
         sc=dataclasses.replace(cfg.sc, exclude_recent=8),
-        loop=dataclasses.replace(cfg.loop, check_every_keyframes=2,
+        loop=dataclasses.replace(cfg.loop, check_every_ticks=2,
                                  rs_time_gap=1e9))   # force the SC path
     n = 56
     gt = _out_and_back(n)
@@ -59,7 +59,7 @@ def test_reverse_loop_closes():
         engine.process_scan(pts[perm], valid[perm], t=i * 0.1)
     est = engine.trajectory_array()
     assert np.isfinite(est).all()
-    assert int(engine.state.loops_closed) >= 1, \
+    assert int(engine.loops_closed) >= 1, \
         "reverse revisit produced no loop closure"
     ate = evaluate.ate_rmse(est, gt[: len(est)])
     # Smoke floor only: the 16x128 tiny sensor drifts ~2 m in z over this
@@ -90,8 +90,9 @@ def test_loop_off_radius_submap():
         sm = jnp.zeros((cfg_off.cap.kf_surf_pad,), bool)
         out = jnp.zeros((cfg_off.cap.kf_outlier_pad, 3), jnp.float32)
         om = jnp.zeros((cfg_off.cap.kf_outlier_pad,), bool)
-        kf = mapping.insert_keyframe(cfg_off, kf, pose, jnp.float32(k),
-                                     pts, m, surf, sm, out, om)
+        kf, _ = mapping.insert_keyframe(
+            cfg_off, kf, jnp.bool_(True), pose, jnp.float32(k),
+            pts, m, surf, sm, out, om)
     c, cm, s, sm_ = mapping.build_submap(cfg_off, kf)
     pts = np.asarray(c)[np.asarray(cm)]
     # Radius 5 m around the origin: only keyframes 0 and 9 qualify; their

@@ -23,7 +23,7 @@ def main():
     cfg = cfg.replace(
         sc=dataclasses.replace(cfg.sc, exclude_recent=10),
         loop=dataclasses.replace(
-            cfg.loop, enabled=True, check_every_keyframes=2,
+            cfg.loop, enabled=True, check_every_ticks=2,
             rs_time_gap=4.0, rs_search_radius=4.0),
     )
     scans, valids, gt = synthetic.make_sequence(
@@ -34,7 +34,7 @@ def main():
         engine.process_scan(scans[i], valids[i], t=i * 0.1)
     est = engine.trajectory_array()
     ate = evaluate.ate_rmse(est, gt[:len(est)])
-    print(f"ate={ate:.4f} loops={int(engine.state.loops_closed)} "
+    print(f"ate={ate:.4f} loops={int(engine.loops_closed)} "
           f"kf={int(engine.map.kf.count)}")
 
 

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Serialized-latency measurement of the full engine_step (mapping on/off),
-to localize engine-level overhead that per-stage profiles miss."""
+"""Serialized-latency measurement of the split engine dispatches
+(perception_step / mapping_step / loop_step), to localize engine-level
+overhead that per-stage profiles miss."""
 import os
 import sys
 import time
@@ -32,40 +33,72 @@ def main():
     eng = pipeline.SlamEngine(cfg)
     for i in range(N):
         eng.process_scan(xs[0][i], xs[1][i], t=i * 0.1)
-    jax.block_until_ready(eng.state.traj)
+    jax.block_until_ready(eng.p.traj)
 
-    # engine_step is donate-jitted; run it via lax.scan over scans with the
+    # Steps are donate-jitted; run each via lax.scan over scans with the
     # state as carry (no donation inside scan, but same compute graph).
-    def body_nomap(st, x):
+    corr = jnp.eye(4, dtype=jnp.float32)
+
+    def body_percep(st, x):
         p, m = x
-        st2, fused = pipeline.engine_step.__wrapped__(
-            cfg, st, p, m, jnp.float32(1.0), jnp.bool_(False))
+        st2, *_ = pipeline.perception_step.__wrapped__(
+            cfg, st, corr, p, m, jnp.float32(1.0))
         return st2, None
 
-    def body_map(st, x):
-        p, m = x
-        st2, fused = pipeline.engine_step.__wrapped__(
-            cfg, st, p, m, jnp.float32(1.0), jnp.bool_(True))
-        return st2, None
-
-    for name, body in (("engine_step map=False", body_nomap),
-                       ("engine_step map=True", body_map)):
-        f = jax.jit(lambda c, x: jax.lax.scan(body, c, x))
-        st = jax.tree.map(jnp.copy, eng.state)
+    f = jax.jit(lambda c, x: jax.lax.scan(body_percep, c, x))
+    st = jax.tree.map(jnp.copy, eng.p)
+    out, _ = f(st, xs)
+    np.asarray(out.scan_i)
+    t0 = time.time()
+    for _ in range(3):
         out, _ = f(st, xs)
-        np.asarray(out.scan_i)
-        t0 = time.time()
-        for _ in range(3):
-            out, _ = f(st, xs)
-        np.asarray(out.scan_i)
-        print(f"{name:36s} {(time.time()-t0)/3/N*1e3:8.3f} ms/scan",
-              flush=True)
+    np.asarray(out.scan_i)
+    print(f"{'perception_step':36s} {(time.time()-t0)/3/N*1e3:8.3f} ms/scan",
+          flush=True)
+
+    # mapping_step: chain the mapper state, fixed perception outputs.
+    odo = eng.p.odo
+    op = jnp.zeros((cfg.cap.outlier_pad, 3), jnp.float32)
+    om = jnp.zeros((cfg.cap.outlier_pad,), bool)
+
+    def body_map(mst, x):
+        p, m = x
+        mst2 = pipeline.mapping_step.__wrapped__(
+            cfg, mst, odo.corner_last.xyz, odo.corner_last.mask,
+            odo.surf_last.xyz, odo.surf_last.mask, op, om,
+            odo.pose, p, m, jnp.float32(1.0), eng.p.imu)
+        return mst2, None
+
+    f = jax.jit(lambda c, x: jax.lax.scan(body_map, c, x))
+    mst = jax.tree.map(jnp.copy, eng.m)
+    out, _ = f(mst, xs)
+    np.asarray(out.kf.count)
+    t0 = time.time()
+    for _ in range(3):
+        out, _ = f(mst, xs)
+    np.asarray(out.kf.count)
+    print(f"{'mapping_step':36s} {(time.time()-t0)/3/N*1e3:8.3f} ms/tick",
+          flush=True)
+
+    def body_loop(mst, _):
+        return pipeline.loop_step.__wrapped__(cfg, mst), None
+
+    f = jax.jit(lambda c, x: jax.lax.scan(body_loop, c, x))
+    mst = jax.tree.map(jnp.copy, eng.m)
+    out, _ = f(mst, jnp.zeros((N, 1)))
+    np.asarray(out.kf.count)
+    t0 = time.time()
+    for _ in range(3):
+        out, _ = f(mst, jnp.zeros((N, 1)))
+    np.asarray(out.kf.count)
+    print(f"{'loop_step (no close)':36s} {(time.time()-t0)/3/N*1e3:8.3f} "
+          "ms/tick", flush=True)
 
     # Dispatch-loop timing (the bench path): per-scan process_scan wall.
     eng2 = pipeline.SlamEngine(cfg)
     for i in range(N):
         eng2.process_scan(xs[0][i], xs[1][i], t=i * 0.1)
-    jax.block_until_ready(eng2.state.traj)
+    jax.block_until_ready(eng2.p.traj)
     t0 = time.time()
     reps = 6
     for r in range(reps):

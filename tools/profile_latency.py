@@ -68,7 +68,7 @@ def main():
 
     def b_percep(st, x):
         p, m = x
-        ns, pose, xi, op, om = pipeline._perception_step(cfg, p, m, st)
+        ns, pose, op, om = pipeline._odo_perception(cfg, p, m, st)
         return ns, None
 
     from sc_lego_loam_tpu.ops import ground, projection, segmentation
@@ -110,7 +110,13 @@ def main():
     eng = pipeline.SlamEngine(cfg)
     for i in range(N):
         pose = eng.process_scan(xs[0][i], xs[1][i], t=i * 0.1)
-    st = eng.state
+    from sc_lego_loam_tpu import loop, mapping, posegraph
+    class _St:  # compat view over the split engine states
+        pass
+    st = _St()
+    st.odo, st.map, st.bank, st.loops = eng.odo, eng.map, eng.bank, eng.loops
+    st.sub_c, st.sub_cm, st.sub_s, st.sub_sm = mapping.build_submap(
+        eng.config, eng.map.kf)
     from sc_lego_loam_tpu import loop, mapping, posegraph
     from sc_lego_loam_tpu.models import scan_context
     from sc_lego_loam_tpu.utils import se3

@@ -44,7 +44,12 @@ def main():
     eng = pipeline.SlamEngine(base)
     for i in range(N):
         eng.process_scan(xs[0][i], xs[1][i], t=i * 0.1)
-    st = eng.state
+    class _St:  # compat view over the split engine states
+        pass
+    st = _St()
+    st.odo, st.map, st.bank, st.loops = eng.odo, eng.map, eng.bank, eng.loops
+    st.sub_c, st.sub_cm, st.sub_s, st.sub_sm = mapping.build_submap(
+        eng.config, eng.map.kf)
     m = base.mapping
     c, cm, s, sm, o, om = mapping.downsample_scan(
         base, st.odo.corner_last.xyz, st.odo.corner_last.mask,

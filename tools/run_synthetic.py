@@ -88,7 +88,7 @@ def main():
         p = np.asarray(pose)[:3, 3]
         print(f"scan {i:3d}: pos=({p[0]:7.2f},{p[1]:7.2f},{p[2]:6.2f})  "
               f"gt=({gt[i][0,3]:7.2f},{gt[i][1,3]:7.2f},{gt[i][2,3]:6.2f})  "
-              f"kf={int(engine.map.kf.count)} loops={int(engine.state.loops_closed)} "
+              f"kf={int(engine.map.kf.count)} loops={int(engine.loops_closed)} "
               f"[{time.time()-ts:5.2f}s]", flush=True)
     wall = time.time() - t0
 
@@ -101,7 +101,7 @@ def main():
     print(f"ATE RMSE: {ate:.3f} m   RPE: {rpe_t:.3f} m / "
           f"{np.degrees(rpe_r):.3f} deg")
     print(f"keyframes: {int(engine.map.kf.count)}  "
-          f"loop closures: {int(engine.state.loops_closed)}")
+          f"loop closures: {int(engine.loops_closed)}")
     print("\nper-stage timings (post-warmup):")
     print(engine.timer.table(skip_first=2))
 
