@@ -93,10 +93,14 @@ class SegmentationConfig:
     min_cluster_size: int = 30           # imageProjection.cpp:440
     ground_keep_stride: int = 5          # imageProjection.cpp:337 (every 5th ground pt)
     outlier_keep_stride: int = 5         # imageProjection.cpp:331 (every 5th outlier)
-    # Parallel flood-fill: label-propagation sweeps per pointer-jump round and
-    # max rounds.  64x1024 components converge in far fewer rounds thanks to
-    # pointer jumping (see ops/segmentation.py).
-    max_label_rounds: int = 6
+    # Parallel flood-fill rounds; each round runs 4 directional segmented
+    # min-scans (ops/segmentation.py).  A component needs one round per
+    # direction ALTERNATION of its worst path; real lidar clusters
+    # (vehicles, trunks, walls) are convex-ish and converge in <= 3 —
+    # gated by the BFS-parity test (test_frontend.py).  Each round costs
+    # ~0.6 ms of latency-bound scan micro-ops on TPU, so the budget is
+    # deliberately tight; raise for exotic spiral geometry.
+    max_label_rounds: int = 3
 
 
 @dataclass(frozen=True)
@@ -158,19 +162,13 @@ class OdometryConfig:
     max_iterations: int = 12
     # Correspondence re-search cadence: the reference re-searches every 5th
     # iteration to amortize kd-tree cost (fA.cpp:1052,1163).  Each research
-    # is the dominant odometry cost (0.82 ms vs 0.12 ms/iteration on TPU,
-    # tools/profile_iters.py); every-4th keeps 3 researches in a 12-iter
-    # budget at bench-checked ATE.
+    # is the dominant odometry cost (~7x an LM iteration on TPU,
+    # tools/profile_iters.py).  Every-2nd (6 researches in the 12-iter
+    # budget) is the accuracy-safe setting the round-3 bench locked in;
+    # the bench seed sweep is the gate for relaxing it.
     research_every: int = 2
     nearest_sq_dist: float = 25.0        # utility.h:129 nearestFeatureSearchSqDist
     near_ring_span: float = 2.5          # fA.cpp:1082,1190 (ring window)
-    # Ring-blocked correspondence search: exact reformulation of the flat
-    # (Q,T) argmin chains as per-ring min tables over a (R,P) target
-    # layout, ~4x cheaper per research (odometry.ring_block).  P bounds the
-    # NN targets kept per ring (overflow thins only the densest ring).
-    ring_blocked_nn: bool = False
-    ring_p_corner: int = 128             # >= 20 less-sharp/section * 6
-    ring_p_surf: int = 512               # >= per-ring less-flat after DS
     robust_after_iter: int = 5           # fA.cpp:1137,1251
     robust_slope: float = 1.8            # fA.cpp:1138 s = 1 - 1.8|d|
     robust_min_weight: float = 0.1       # fA.cpp:1142,1256 (s <= 0.1 dropped)
@@ -297,8 +295,11 @@ class PoseGraphConfig:
     # Loop-factor bank capacity.  The Woodbury capacitance solve in
     # posegraph.solve is (6L)^2, so this bounds the per-resolve cost; the
     # reference accumulates one factor per 1 Hz tick while revisiting
-    # (mO.cpp:997), so hundreds over a long run.
-    max_loops: int = 128
+    # (mO.cpp:997), so hundreds over a long run.  Overflow policy: the
+    # slot index wraps, RING-OVERWRITING the oldest factor
+    # (posegraph.add_loop) — count keeps growing so the host can detect
+    # and warn (pipeline._check_caps).
+    max_loops: int = 256
 
 
 @dataclass(frozen=True)
@@ -309,11 +310,18 @@ class CapacityConfig:
     bank is preallocated with a high-water mask so shapes stay jit-static.
     """
 
-    # Keyframe bank capacity.  4096 keyframes at the 0.3 m rule covers a
-    # ~1.2+ km trajectory (MulRan DCC scale); the reference grows
-    # std::vectors unboundedly (mO.cpp:88-90).  Bank memory ~765 MB at
-    # full-size pads; the pose-graph solve is O(K log K) (posegraph.solve).
-    max_keyframes: int = 4096
+    # Keyframe bank capacity.  16384 keyframes at the 0.3 m rule
+    # (mO.cpp:1531-1538) covers a ~4.9 km trajectory — full MulRan DCC
+    # scale (~5 km); the reference grows std::vectors unboundedly
+    # (mO.cpp:88-90).  Memory budget at full-size pads: corner 0.4 GB +
+    # surf 1.6 GB + outlier 0.8 GB + masks 0.23 GB + SC descriptors
+    # 0.08 GB ~= 3.1 GB of the 16 GB v5e HBM.  Per-tick cost does NOT
+    # scale with K (submap gathers 50 recent; retrieval is one matmul
+    # over the bank; the pose-graph edge solve is O(K) + log-depth scan).
+    # Overflow policy: new keyframes are DROPPED (mapping.insert_keyframe
+    # — the map stops growing, odometry/correction continue) with an
+    # insert-side kf_dropped counter the host warns on.
+    max_keyframes: int = 16384
     # Device-side fused-trajectory ring buffer (one (4,4) pose per scan;
     # fetched once at the end of a run — never per scan, a host sync over
     # the device tunnel costs ~25 ms).
@@ -321,7 +329,11 @@ class CapacityConfig:
     # Per-scan feature pads (post extraction / downsample).
     sharp_pad: int = 1024                # <= 2*6*n_scan = 768 for 64 rings
     flat_pad: int = 2048                 # <= 4*6*64 = 1536
-    less_sharp_pad: int = 4096           # <= 20*6*64 (pre-DS) -> DS'd
+    # True per-scan bound is 20 less-sharp/section * 6 sections * 64 rings
+    # = 7680 (fA.cpp:713); no downsample shrinks it before compaction
+    # (gather_class compacts directly), so anything smaller silently drops
+    # the highest rings' tail in dense scenes.
+    less_sharp_pad: int = 8192
     less_flat_pad: int = 8192            # less-flat after 0.2 voxel DS
     outlier_pad: int = 4096              # outlier cloud after DS
     # Keyframe-store pads (post mapping-side voxel DS).

@@ -32,16 +32,17 @@ from .utils import se3
 
 
 def _make_knn5(submap, submap_mask, m):
-    """5-NN closure: fused Pallas kernel on TPU (with the loop-invariant
-    target prep hoisted), XLA tiles elsewhere.  SCLOAM_NO_PALLAS=1 forces
-    the exact XLA path (A/B debugging)."""
+    """5-NN closure ``knn5(q, qcnt)``: fused Pallas kernel on TPU (with the
+    loop-invariant target prep hoisted; ``qcnt`` = valid-query prefix count
+    for query-side tile skipping), XLA tiles elsewhere.  SCLOAM_NO_PALLAS=1
+    forces the exact XLA path (A/B debugging)."""
     import os
     if jax.default_backend() == "tpu" and \
             os.environ.get("SCLOAM_NO_PALLAS", "0") != "1":
-        tpad, tt, cnt = pallas_knn.prepare_targets(submap, submap_mask)
-        return lambda q: pallas_knn.knn_pallas_prepared(
-            q, tpad, tt, cnt, k=m.knn, max_sq_dist=4.0 * m.max_nn_sq_dist)
-    return lambda q: knn.knn(q, submap, submap_mask, m.knn)
+        prep = pallas_knn.prepare_targets(submap, submap_mask)
+        return lambda q, qcnt=None: pallas_knn.knn_pallas_prepared(
+            q, prep, k=m.knn, max_sq_dist=4.0 * m.max_nn_sq_dist, qcnt=qcnt)
+    return lambda q, qcnt=None: knn.knn(q, submap, submap_mask, m.knn)
 
 _BIG = jnp.float32(1e18)
 
@@ -146,10 +147,10 @@ def build_submap(config: PipelineConfig, kf: KeyframeStore):
     return corner, corner_mask, surf, surf_mask
 
 
-def _corner_geometry(p_w, submap, knn5, m):
+def _corner_geometry(p_w, submap, knn5, qcnt, m):
     """Line fits from 5-NN (cornerOptimization, mO.cpp:1265-1346).
     Returns (a, b, valid): the two virtual line points per query."""
-    idx, sqd = knn5(p_w)
+    idx, sqd = knn5(p_w, qcnt)
     nn_ok = sqd[:, m.knn - 1] < m.max_nn_sq_dist
     pts = submap[idx]                              # (Q,5,3)
     center = pts.mean(1)
@@ -162,10 +163,10 @@ def _corner_geometry(p_w, submap, knn5, m):
     return a, b, nn_ok & is_line
 
 
-def _surf_geometry(p_w, submap, knn5, m):
+def _surf_geometry(p_w, submap, knn5, qcnt, m):
     """Plane fits from 5-NN (surfOptimization, mO.cpp:1348-1399).
     Returns (n, d, valid): unit plane normal + offset per query."""
-    idx, sqd = knn5(p_w)
+    idx, sqd = knn5(p_w, qcnt)
     nn_ok = sqd[:, m.knn - 1] < m.max_nn_sq_dist
     pts = submap[idx]                              # (Q,5,3)
     # Solve A n = -1 (least squares via normal equations, closed form).
@@ -194,14 +195,24 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
 
     enough = (submap_cm.sum() > 10) & (submap_sm.sum() > m.min_submap_points)
 
+    # Prefix-compact both query sets once (loop-invariant): the Pallas
+    # kernel then skips query tiles past the live count — the engine's
+    # query pads run at ~25-50% occupancy, so this halves NN work.
+    from .ops.compact import compact
+    corner_q, corner_qmask = compact(corner_q, corner_qmask,
+                                     corner_q.shape[0])
+    surf_q, surf_qmask = compact(surf_q, surf_qmask, surf_q.shape[0])
+    qcnt_c = corner_qmask.sum().astype(jnp.int32)[None]
+    qcnt_s = surf_qmask.sum().astype(jnp.int32)[None]
+
     knn_c = _make_knn5(submap_c, submap_cm, m)
     knn_s = _make_knn5(submap_s, submap_sm, m)
 
     def research(T):
         pc_w = _transform(T, corner_q)
         ps_w = _transform(T, surf_q)
-        la, lb, c_ok = _corner_geometry(pc_w, submap_c, knn_c, m)
-        nu, dof, s_ok = _surf_geometry(ps_w, submap_s, knn_s, m)
+        la, lb, c_ok = _corner_geometry(pc_w, submap_c, knn_c, qcnt_c, m)
+        nu, dof, s_ok = _surf_geometry(ps_w, submap_s, knn_s, qcnt_s, m)
         return la, lb, c_ok & corner_qmask, nu, dof, s_ok & surf_qmask
 
     def body(state):

@@ -72,152 +72,50 @@ def _sqdist(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------- #
-# Ring-blocked correspondence search.
-#
-# The flat search below (_find_corner/_find_surf) materializes the (Q,T)
-# distance matrix ~4 times per research (masked argmin chains + gathers):
-# ~0.8 ms per research on TPU, and the odometry loop re-searches up to 8
-# times per scan.  The ring-blocked path is an EXACT reformulation (same
-# correspondences up to distance-quantization ties, gated by
-# tests/test_ring_nn.py): targets are scattered once per scan into a
-# (R, P) ring-major layout, then ONE (Q,R,P) einsum + packed
-# (quantized-distance | slot) int32 min-reductions over the short P axis
-# produce per-ring nearest/second-nearest tables, from which all of the
-# reference's ring relations (same-ring l2, +-span cross-ring l2/l3,
-# fA.cpp:1044-1268) are O(Q*R) gathers.
+# Correspondence search via packed (quantized-distance | index) int32
+# keys: each ring relation becomes ONE min-reduction over the (Q,T) key
+# matrix instead of an argmin + take_along_axis pair over a separate f32
+# distance copy, halving the HBM passes of the research (the dominant
+# odometry cost: profile_iters measured the research at ~7x an LM
+# iteration).  Quantization (18 bits over [0, 64] m^2 ~ 0.25 mm^2) only
+# re-breaks exact-distance ties, which the reference's kd-tree breaks
+# arbitrarily too.
 
-_NN_BITS = 9                     # within-ring slot bits (P <= 512)
+_NN_IDX_BITS = 13                # target index bits (T <= 8192)
 _NN_MAXKEY = 2 ** 31 - 1
 _NN_MAX_SQ = 64.0                # quantization range >= nearest_sq_dist
 
 
-def ring_block(fc: FeatureCloud, n_rings: int, P: int):
-    """Scatter a flat FeatureCloud into ring-major blocks: output slot
-    r*P + k holds the k-th valid point of ring r (flat-order rank).  Points
-    past P valid entries in a ring are dropped (P is sized so this is rare;
-    it only thins the densest ring's NN targets).  Returns a FeatureCloud
-    of size (R*P,)."""
-    N = fc.xyz.shape[0]
-    # Rank within ring, in flat order: sort by (ring, index) -- packed key
-    # keeps the sort single-pass; invalid entries sink to the end.
-    key = jnp.where(fc.mask, fc.ring, n_rings) * N + jnp.arange(
-        N, dtype=jnp.int32)
-    order = jnp.argsort(key)
-    ring_s = fc.ring[order]
-    mask_s = fc.mask[order]
-    pos = jnp.arange(N, dtype=jnp.int32)
-    first = jnp.full((n_rings,), N, jnp.int32).at[
-        jnp.where(mask_s, ring_s, n_rings)].min(pos, mode="drop")
-    rank = pos - first[jnp.clip(ring_s, 0, n_rings - 1)]
-    ok = mask_s & (rank < P)
-    slot = jnp.where(ok, ring_s * P + rank, n_rings * P)
-
-    def scat(a, fill):
-        out_shape = (n_rings * P,) + a.shape[1:]
-        return jnp.full(out_shape, fill, a.dtype).at[slot].set(
-            a[order], mode="drop")
-
-    return FeatureCloud(
-        xyz=scat(fc.xyz, 0.0),
-        mask=jnp.zeros((n_rings * P,), bool).at[slot].set(ok, mode="drop"),
-        ring=jnp.repeat(jnp.arange(n_rings, dtype=jnp.int32), P),
-        rel_time=scat(fc.rel_time, 0.0),
-    )
-
-
-def _ring_tables(q_xyz, tgt_xyz, tgt_mask, n_rings: int):
-    """Nearest and second-nearest target of every query in EVERY ring.
-    Targets are ring-blocked ((R*P,3)).  Returns (d1, i1, d2, i2): (Q,R)
-    squared distances and FLAT target indices."""
-    R = n_rings
-    P = tgt_xyz.shape[0] // R
-    assert P * R == tgt_xyz.shape[0] and P <= (1 << _NN_BITS)
-    t = tgt_xyz.reshape(R, P, 3)
-    tm = tgt_mask.reshape(R, P)
-    qq = (q_xyz * q_xyz).sum(-1)
-    tt = (t * t).sum(-1)
-    dots = jnp.einsum("qd,rpd->qrp", q_xyz, t,
-                      preferred_element_type=jnp.float32)
-    d = jnp.maximum(qq[:, None, None] + tt[None] - 2.0 * dots, 0.0)
-    scale = float((1 << (31 - _NN_BITS)) - 4) / _NN_MAX_SQ
+def _packed_keys(q_xyz, tgt: FeatureCloud):
+    """(Q,T) packed keys; invalid targets hold MAXKEY."""
+    T = tgt.xyz.shape[0]
+    assert T <= (1 << _NN_IDX_BITS), T
+    d = _sqdist(q_xyz, tgt.xyz)
+    scale = float((1 << (31 - _NN_IDX_BITS)) - 4) / _NN_MAX_SQ
     dq = jnp.clip(d * scale, 0,
-                  float((1 << (31 - _NN_BITS)) - 2)).astype(jnp.int32)
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
-    key = (dq << _NN_BITS) | pidx[None]
-    key = jnp.where(tm[None], key, _NN_MAXKEY)
-    k1 = key.min(-1)                                        # (Q,R)
-    k2 = jnp.where(key == k1[..., None], _NN_MAXKEY, key).min(-1)
-    base = (jnp.arange(R, dtype=jnp.int32) * P)[None, :]
-
-    def unpack(kk):
-        dd = (kk >> _NN_BITS).astype(jnp.float32) / scale
-        ii = base + (kk & ((1 << _NN_BITS) - 1))
-        return jnp.where(kk == _NN_MAXKEY, _BIG, dd), ii
-
-    d1, i1 = unpack(k1)
-    d2, i2 = unpack(k2)
-    return d1, i1, d2, i2
+                  float((1 << (31 - _NN_IDX_BITS)) - 2)).astype(jnp.int32)
+    tidx = jax.lax.broadcasted_iota(jnp.int32, dq.shape, 1)
+    key = (dq << _NN_IDX_BITS) | tidx
+    return jnp.where(tgt.mask[None, :], key, _NN_MAXKEY), scale
 
 
-def _ring_window_min(d1, i1, ring_j, span: int, R: int):
-    """Nearest target over rings ring_j +- 1..span (excluding ring_j).
-    Returns (dist (Q,), flat index (Q,))."""
-    offs = jnp.asarray([o for o in range(-span, span + 1) if o != 0],
-                       jnp.int32)
-    cand = ring_j[:, None] + offs[None]                     # (Q, 2*span)
-    okr = (cand >= 0) & (cand < R)
-    candc = jnp.clip(cand, 0, R - 1)
-    dw = jnp.where(okr, jnp.take_along_axis(d1, candc, 1), _BIG)
-    sel = jnp.argmin(dw, -1)
-    dmin = jnp.take_along_axis(dw, sel[:, None], 1)[:, 0]
-    ring2 = jnp.take_along_axis(candc, sel[:, None], 1)[:, 0]
-    idx = jnp.take_along_axis(i1, ring2[:, None], 1)[:, 0]
-    return dmin, idx
-
-
-def _find_corner_rb(q_xyz, q_mask, tgt: FeatureCloud, ocfg, n_rings: int):
-    """Ring-blocked edge correspondences; same semantics as _find_corner
-    (fA.cpp:1044-1153), indices into the ring-blocked target cloud."""
-    d1, i1, _, _ = _ring_tables(q_xyz, tgt.xyz, tgt.mask, n_rings)
-    ring_j = jnp.argmin(d1, -1)
-    dj = jnp.take_along_axis(d1, ring_j[:, None], 1)[:, 0]
-    j = jnp.take_along_axis(i1, ring_j[:, None], 1)[:, 0]
-    dl2, l2 = _ring_window_min(d1, i1, ring_j, int(ocfg.near_ring_span),
-                               n_rings)
-    valid = q_mask & (dj < ocfg.nearest_sq_dist) & (dl2 < ocfg.nearest_sq_dist)
-    return j, l2, valid
-
-
-def _find_surf_rb(q_xyz, q_mask, tgt: FeatureCloud, ocfg, n_rings: int):
-    """Ring-blocked planar correspondences; same semantics as _find_surf
-    (fA.cpp:1155-1268): nearest j, same-ring second minimum l2, cross-ring
-    window minimum l3."""
-    d1, i1, d2, i2 = _ring_tables(q_xyz, tgt.xyz, tgt.mask, n_rings)
-    ring_j = jnp.argmin(d1, -1)
-    dj = jnp.take_along_axis(d1, ring_j[:, None], 1)[:, 0]
-    j = jnp.take_along_axis(i1, ring_j[:, None], 1)[:, 0]
-    dl2 = jnp.take_along_axis(d2, ring_j[:, None], 1)[:, 0]
-    l2 = jnp.take_along_axis(i2, ring_j[:, None], 1)[:, 0]
-    dl3, l3 = _ring_window_min(d1, i1, ring_j, int(ocfg.near_ring_span),
-                               n_rings)
-    thr = ocfg.nearest_sq_dist
-    valid = q_mask & (dj < thr) & (dl2 < thr) & (dl3 < thr)
-    return j, l2, l3, valid
+def _unpack(key, scale):
+    dd = (key >> _NN_IDX_BITS).astype(jnp.float32) / scale
+    return jnp.where(key == _NN_MAXKEY, _BIG, dd), \
+        key & ((1 << _NN_IDX_BITS) - 1)
 
 
 def _find_corner(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
     """Edge correspondences (fA.cpp:1044-1153): nearest neighbor j plus the
     nearest point l2 in a *different* ring within +-near_ring_span."""
-    d = _sqdist(q_xyz, tgt.xyz)
-    d = jnp.where(tgt.mask[None, :], d, _BIG)
-    j = jnp.argmin(d, -1)
-    dj = jnp.take_along_axis(d, j[:, None], -1)[:, 0]
+    key, scale = _packed_keys(q_xyz, tgt)
+    k1 = key.min(-1)
+    dj, j = _unpack(k1, scale)
     ring_j = tgt.ring[j]
-    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None]).astype(jnp.float32)
+    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None])
     m2 = (dr > 0) & (dr <= ocfg.near_ring_span)
-    d2 = jnp.where(m2, d, _BIG)
-    l2 = jnp.argmin(d2, -1)
-    dl2 = jnp.take_along_axis(d2, l2[:, None], -1)[:, 0]
+    k2 = jnp.where(m2, key, _NN_MAXKEY).min(-1)
+    dl2, l2 = _unpack(k2, scale)
     valid = q_mask & (dj < ocfg.nearest_sq_dist) & (dl2 < ocfg.nearest_sq_dist)
     return j, l2, valid
 
@@ -226,21 +124,18 @@ def _find_surf(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
     """Planar correspondences (fA.cpp:1155-1268): nearest j, nearest l2 in
     the SAME ring (excluding j), nearest l3 in a different ring within
     +-near_ring_span."""
-    d = _sqdist(q_xyz, tgt.xyz)
-    d = jnp.where(tgt.mask[None, :], d, _BIG)
-    j = jnp.argmin(d, -1)
-    dj = jnp.take_along_axis(d, j[:, None], -1)[:, 0]
+    key, scale = _packed_keys(q_xyz, tgt)
+    k1 = key.min(-1)
+    dj, j = _unpack(k1, scale)
     ring_j = tgt.ring[j]
     same = tgt.ring[None, :] == ring_j[:, None]
-    not_j = jnp.arange(d.shape[1])[None, :] != j[:, None]
-    d2 = jnp.where(same & not_j, d, _BIG)
-    l2 = jnp.argmin(d2, -1)
-    dl2 = jnp.take_along_axis(d2, l2[:, None], -1)[:, 0]
-    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None]).astype(jnp.float32)
+    # key != k1 excludes exactly j (indices make keys unique).
+    k2 = jnp.where(same & (key != k1[:, None]), key, _NN_MAXKEY).min(-1)
+    dl2, l2 = _unpack(k2, scale)
+    dr = jnp.abs(tgt.ring[None, :] - ring_j[:, None])
     m3 = (dr > 0) & (dr <= ocfg.near_ring_span)
-    d3 = jnp.where(m3, d, _BIG)
-    l3 = jnp.argmin(d3, -1)
-    dl3 = jnp.take_along_axis(d3, l3[:, None], -1)[:, 0]
+    k3 = jnp.where(m3, key, _NN_MAXKEY).min(-1)
+    dl3, l3 = _unpack(k3, scale)
     thr = ocfg.nearest_sq_dist
     valid = q_mask & (dj < thr) & (dl2 < thr) & (dl3 < thr)
     return j, l2, l3, valid
@@ -456,20 +351,11 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
             sharp = sharp._replace(rel_time=jnp.ones_like(sharp.rel_time))
             flat = flat._replace(rel_time=jnp.ones_like(flat.rel_time))
         dk = ocfg.deskew
-        R = config.lidar.n_scan
-        if ocfg.ring_blocked_nn:
-            # Ring-block the loop-invariant targets ONCE per scan; every
-            # research then runs on the cheap per-ring min tables.
-            corner_t = ring_block(state.corner_last, R, ocfg.ring_p_corner)
-            surf_t = ring_block(state.surf_last, R, ocfg.ring_p_surf)
-        else:
-            corner_t, surf_t = state.corner_last, state.surf_last
+        corner_t, surf_t = state.corner_last, state.surf_last
 
         # Stage 1: surf features -> [roll, pitch, tz] = twist idx [0,1,5].
         def surf_research(xi):
             q = _deskew(xi, flat.xyz, flat.rel_time, dk)
-            if ocfg.ring_blocked_nn:
-                return _find_surf_rb(q, flat.mask, surf_t, ocfg, R)
             return _find_surf(q, flat.mask, surf_t, ocfg)
 
         def surf_resid(xi, corres):
@@ -481,8 +367,6 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
 
         def corner_research(xi):
             q = _deskew(xi, sharp.xyz, sharp.rel_time, dk)
-            if ocfg.ring_blocked_nn:
-                return _find_corner_rb(q, sharp.mask, corner_t, ocfg, R)
             return _find_corner(q, sharp.mask, corner_t, ocfg)
 
         def corner_resid(xi, corres):

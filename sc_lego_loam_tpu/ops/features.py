@@ -193,10 +193,17 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     curv, curv_ok = curvature(cloud, feat)
     occl = occlusion_mask(cloud, feat)
 
-    pos_w = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    n = jnp.maximum(cloud.count, 1)[:, None]
-    sec_id = jnp.minimum((pos_w * S) // n, S - 1)          # (H,W)
-    sec_onehot = sec_id[:, None, :] == jnp.arange(S)[None, :, None]
+    n = jnp.maximum(cloud.count, 1)                        # (H,)
+    # Sections are CONTIGUOUS spans of the compacted row (fA.cpp:691-694:
+    # [s*n/S, (s+1)*n/S)): candidate scoring gathers each section's fixed-
+    # size window instead of masking an (H,S,W) broadcast — the top_k then
+    # sorts 6x less data (the window is <= ceil(W/S) long).
+    SEC_L = -(-W // S) + 1
+    sec_start = (jnp.arange(S)[None, :] * n[:, None]) // S     # (H,S)
+    sec_end = ((jnp.arange(S)[None, :] + 1) * n[:, None]) // S
+    sec_off = jnp.arange(SEC_L)
+    sec_pos = jnp.clip(sec_start[..., None] + sec_off, 0, W - 1)  # (H,S,L)
+    sec_in = sec_off[None, None, :] < (sec_end - sec_start)[..., None]
 
     # Column-gap chain ids: suppression never crosses a compacted-neighbor
     # gap > suppress_col_gap (fA.cpp:720-732); equal prefix-sum of breaks
@@ -212,10 +219,13 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     NEG = jnp.float32(-1.0)
 
     # ---- edge picks: one top-KC pass + greedy suppression ----
-    KC = 32   # > edge_less_per_section; headroom for suppressed candidates
+    # > edge_less_per_section; headroom for suppressed candidates
+    KC = min(32, SEC_L - 1)
     cand = curv_ok & ~occl & (curv > feat.edge_threshold) & ~cloud.ground
-    score = jnp.where(cand[:, None, :] & sec_onehot, curv[:, None, :], NEG)
-    val, pos = jax.lax.top_k(score, KC)                    # (H,S,KC) desc
+    score_r = jnp.where(cand, curv, NEG)                   # (H,W)
+    score = jnp.where(sec_in, gather_row(score_r, sec_pos), NEG)
+    val, sel = jax.lax.top_k(score, KC)                    # (H,S,KC) desc
+    pos = jnp.take_along_axis(sec_pos, sel, -1)
     has = val > 0.0
     picked = _greedy_pick(pos, has, gather_row(chain, pos), feat)
     rank = jnp.cumsum(picked.astype(jnp.int32), -1)
@@ -241,13 +251,14 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     # (fA.cpp marks +-5 compacted neighbors around any jump, which on short
     # ground runs pre-picks ALL of them).  Pick-suppression marks from the
     # edge phase still apply.
-    KS = 8
+    KS = min(8, SEC_L - 1)
     _BIG_F = jnp.float32(1e18)
     excl = supp_map | (occl & ~cloud.ground)
     cand_s = curv_ok & ~excl & (gcurv < feat.surf_threshold) & cloud.ground
-    score_s = jnp.where(cand_s[:, None, :] & sec_onehot,
-                        -gcurv[:, None, :], -_BIG_F)
-    val_s, pos_s = jax.lax.top_k(score_s, KS)
+    score_sr = jnp.where(cand_s, -gcurv, -_BIG_F)          # (H,W)
+    score_s = jnp.where(sec_in, gather_row(score_sr, sec_pos), -_BIG_F)
+    val_s, sel_s = jax.lax.top_k(score_s, KS)
+    pos_s = jnp.take_along_axis(sec_pos, sel_s, -1)
     has_s = val_s > -_BIG_F * 0.5
     picked_s = _greedy_pick(pos_s, has_s, gather_row(chain, pos_s), feat)
     rank_s = jnp.cumsum(picked_s.astype(jnp.int32), -1)

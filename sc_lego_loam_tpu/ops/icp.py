@@ -27,15 +27,16 @@ def _make_nn1(dst, dst_mask):
     max_sq_dist 64 keeps quantization fine enough for the fitness gate;
     1-NN through the chunk-candidate kernel is exact."""
     if jax.default_backend() == "tpu":
-        tpad, tt, cnt = pallas_knn.prepare_targets(dst, dst_mask)
+        prep = pallas_knn.prepare_targets(dst, dst_mask)
 
-        def nn(p):
-            idx, sqd = pallas_knn.knn_pallas_prepared(p, tpad, tt, cnt, k=1,
-                                                      max_sq_dist=64.0)
+        def nn(p, qcnt=None):
+            idx, sqd = pallas_knn.knn_pallas_prepared(p, prep, k=1,
+                                                      max_sq_dist=64.0,
+                                                      qcnt=qcnt)
             return idx[:, 0], sqd[:, 0]
 
         return nn
-    return lambda p: nn1(p, dst, dst_mask)
+    return lambda p, qcnt=None: nn1(p, dst, dst_mask)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -47,12 +48,17 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
     lcfg = config.loop
     if T0 is None:
         T0 = jnp.eye(4, dtype=jnp.float32)
+    # Prefix-compact the source once: the Pallas 1-NN then skips query
+    # tiles past the live count (loop.keyframe_cloud pads run ~30-60%).
+    from .compact import compact
+    src, src_mask = compact(src, src_mask, src.shape[0])
+    qcnt = src_mask.sum().astype(jnp.int32)[None]
     nn = _make_nn1(dst, dst_mask)
 
     def body(state):
         T, it, done = state
         p = se3.transform_points(T, src[None])[0]
-        idx, sqd = nn(p)
+        idx, sqd = nn(p, qcnt)
         w = src_mask.astype(jnp.float32)
         dT = se3.best_fit_transform(p, dst[idx], w)
         T_new = dT @ T
@@ -68,7 +74,7 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
         cond, body, (T0, jnp.int32(0), jnp.bool_(False)))
 
     p = se3.transform_points(T, src[None])[0]
-    _, sqd = nn(p)
+    _, sqd = nn(p, qcnt)
     w = src_mask.astype(jnp.float32)
     fitness = (sqd * w).sum() / jnp.maximum(w.sum(), 1.0)
     return T, fitness

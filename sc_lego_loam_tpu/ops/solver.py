@@ -66,7 +66,11 @@ def solve_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+                # Non-positive pivot = singular/indefinite H: propagate NaN
+                # so the callers' isfinite guards zero the step (the same
+                # contract the LU path had; clamping instead would emit a
+                # huge-but-finite delta that slips past those guards).
+                L[i][j] = jnp.sqrt(jnp.where(s > 0, s, jnp.nan))
             else:
                 L[i][j] = s / L[j][j]
     # Forward substitution L y = b.

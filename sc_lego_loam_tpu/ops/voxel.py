@@ -105,39 +105,6 @@ def voxel_downsample_hash(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     return out, ok, None
 
 
-def thin_group(points: jnp.ndarray, mask: jnp.ndarray, out_pad: int):
-    """Bounded COUNT-AWARE decimation: keep min(n_valid, out_pad) valid
-    points, uniformly spaced in valid-rank order.
-
-    Lossless whenever the cloud fits the output pad (n_valid <= out_pad) —
-    decimation kicks in only past capacity, unlike a pad-geometry stride
-    (which would thin a 300-points-in-2048-slots cloud 4x for a 512 pad).
-    Callers feed hash-scattered (voxel_downsample_hash) or ring-interleaved
-    orders, where rank-adjacent points are spatially spread — so uniform
-    rank spacing approximates a uniform spatial subsample.  Used to bound
-    NN-target sizes (keyframe store thinning, history submaps), where exact
-    voxel decimation buys nothing: the consumer is a distance-gated
-    5-point fit.  Cost: one cumsum + one scatter over N + an out_pad gather.
-    """
-    n = points.shape[0]
-    if n <= out_pad:
-        pad = out_pad - n
-        return (jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)]),
-                jnp.concatenate([mask, jnp.zeros((pad,), bool)]))
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1         # (N,) valid rank
-    n_valid = rank[-1] + 1
-    # pos[r] = array index of the r-th valid point.
-    scat = jnp.where(mask, rank, n)
-    pos = jnp.zeros((n,), jnp.int32).at[scat].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    j = jnp.arange(out_pad, dtype=jnp.int32)
-    fits = n_valid <= out_pad
-    r_j = jnp.where(fits, j, (j * n_valid) // out_pad)
-    ok = j < n_valid
-    out = points[pos[jnp.clip(r_j, 0, n - 1)]]
-    return jnp.where(ok[:, None], out, 0.0), ok
-
-
 def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
                    out_pad: int, table_bits: int = 18):
     """O(n) voxel decimation: keep ONE representative point per voxel via a
@@ -157,8 +124,10 @@ def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     idx = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n)
     # Chunked scatter-min (TPU scatters serialize over colliding updates;
     # C independent chunk scatters + one min-reduce run C-way parallel —
-    # this call sees ~1e6 updates per submap rebuild).
-    C = 16
+    # this call sees ~1e6 updates per submap rebuild, so wide chunking
+    # pays: 64 x 2^18 int32 tables are 67 MB of sequential HBM traffic
+    # (~0.2 ms) against a ~4x cut in serialized scatter depth).
+    C = 64
     while n % C:
         C //= 2
     winner = jax.vmap(

@@ -32,32 +32,61 @@ from ..utils import se3
 
 class BatchEngine:
     """Runs S sequences in lockstep, one vmapped device step per scan
-    index.  With a mesh, the batch axis is sharded over 'seq'."""
+    index — pure data parallelism over the 'seq' mesh axis.
+
+    With ``mesh`` (a Mesh with a 'seq' axis), every per-sequence state
+    leaf is device_put with NamedSharding(P('seq')) on its leading axis,
+    so the vmapped steps run SPMD with zero cross-sequence communication
+    (each device owns its sequences end-to-end); states are donated, so
+    bank updates stay in place per shard.  The fused trajectory lives in a
+    device-side (S, max_scans, 4, 4) ring buffer fetched ONCE at the end —
+    no per-scan host syncs (a sync costs ~25 ms on this runtime)."""
 
     def __init__(self, config: PipelineConfig, n_seq: int, mesh=None):
         self.config = config
         self.n_seq = n_seq
         self.mesh = mesh
-        self.odo = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_seq,) + x.shape).copy(),
-            odometry.init_state(config))
-        self.map = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_seq,) + x.shape).copy(),
-            mapping.init_state(config))
-        self.bank = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_seq,) + x.shape).copy(),
-            scan_context.init_bank(config))
+
+        def batched(x):
+            return jnp.broadcast_to(x, (n_seq,) + x.shape).copy()
+
+        self.odo = jax.tree.map(batched, odometry.init_state(config))
+        self.map = jax.tree.map(batched, mapping.init_state(config))
+        self.bank = jax.tree.map(batched, scan_context.init_bank(config))
+        self.traj = batched(jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32),
+            (config.cap.max_scans, 4, 4)).copy())
+        self._scan_i = 0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert n_seq % mesh.shape["seq"] == 0, (
+                f"n_seq={n_seq} must divide over the 'seq' axis "
+                f"({mesh.shape['seq']} devices)")
+            shard = NamedSharding(mesh, P("seq"))
+
+            def put(x):
+                return jax.device_put(x, shard) if x.ndim >= 1 else x
+
+            self.odo = jax.tree.map(put, self.odo)
+            self.map = jax.tree.map(put, self.map)
+            self.bank = jax.tree.map(put, self.bank)
+            self.traj = put(self.traj)
         self.last_map_time = -1e9
-        self.trajectories = [[] for _ in range(n_seq)]
 
         cfg = config
 
-        @functools.partial(jax.jit, static_argnums=())
+        @functools.partial(jax.jit, donate_argnums=2)
         def _batch_perception(points, masks, odo_state):
             return jax.vmap(lambda p, m, s: _odo_perception(cfg, p, m, s)
                             )(points, masks, odo_state)
 
-        @functools.partial(jax.jit, static_argnums=())
+        @functools.partial(jax.jit, donate_argnums=2)
+        def _record(corrections, odom_poses, traj, i):
+            fused = corrections @ odom_poses            # (S,4,4)
+            i = jnp.minimum(i, cfg.cap.max_scans - 1)
+            return fused, traj.at[:, i].set(fused)
+
+        @functools.partial(jax.jit, donate_argnums=0)
         def _batch_mapping(map_state, odom_poses, corner, corner_m,
                            surf, surf_m, outlier, outlier_m, t):
             def one(st, pose, c0, cm0, s0, sm0, o0, om0):
@@ -84,9 +113,16 @@ class BatchEngine:
 
         self._batch_perception = _batch_perception
         self._batch_mapping = _batch_mapping
+        self._record = _record
+        self._batch_append = jax.jit(jax.vmap(
+            lambda b, p, m, ins: scan_context.append(
+                b, scan_context.make_descriptor(p, m, cfg.sc),
+                cfg.cap.max_keyframes, ins)), donate_argnums=0)
 
     def process_scans(self, points, masks, t: float):
-        """points: (S,N,3), masks: (S,N). Returns fused poses (S,4,4)."""
+        """points: (S,N,3), masks: (S,N). Returns fused poses (S,4,4) as a
+        lazy device array (no host sync; fetch trajectories at the end via
+        trajectory_array)."""
         cfg = self.config
         points = jnp.asarray(points, jnp.float32)
         masks = jnp.asarray(masks, bool)
@@ -99,16 +135,21 @@ class BatchEngine:
                 self.odo.corner_last.xyz, self.odo.corner_last.mask,
                 self.odo.surf_last.xyz, self.odo.surf_last.mask,
                 out_pts, out_mask, jnp.float32(t))
-            self.bank = jax.vmap(
-                lambda b, p, m, ins: scan_context.append(
-                    b, scan_context.make_descriptor(p, m, cfg.sc),
-                    cfg.cap.max_keyframes, ins)
-            )(self.bank, points, masks, inserted)
+            self.bank = self._batch_append(self.bank, points, masks,
+                                           inserted)
             self.last_map_time = t
-        fused = jax.vmap(lambda c, p: c @ p)(self.map.correction, odom_poses)
-        for s in range(self.n_seq):
-            self.trajectories[s].append(np.asarray(fused[s]))
+        fused, self.traj = self._record(
+            self.map.correction, odom_poses, self.traj,
+            jnp.int32(self._scan_i))
+        self._scan_i += 1
         return fused
+
+    def trajectory_array(self, seq: int | None = None):
+        """(S,N,4,4) fused trajectories so far (one device sync), or one
+        sequence's (N,4,4)."""
+        n = min(self._scan_i, self.config.cap.max_scans)
+        out = np.asarray(self.traj[:, :n])
+        return out if seq is None else out[seq]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

@@ -230,6 +230,36 @@ def figure8_trajectory(n_poses: int, radius: float = 40.0, height: float = 2.0,
     return poses
 
 
+def cloverleaf_trajectory(n_poses: int, radius: float = 40.0,
+                          height: float = 2.0, petals: int = 4) -> np.ndarray:
+    """Rose-curve trajectory r = R sin(p/2 * theta): ``petals`` petals all
+    passing through the ORIGIN, so the center is revisited petals-1 times
+    after the first pass — multiple distinct loop-closure opportunities for
+    precision/recall benchmarking (a figure-8 yields only one revisit
+    event).  Returns (n,4,4); x-axis tangent to the path."""
+    s = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
+    k = petals / 2.0
+    r = radius * np.sin(k * s)
+    x = r * np.cos(s)
+    y = r * np.sin(s)
+    dr = radius * k * np.cos(k * s)
+    dx = dr * np.cos(s) - r * np.sin(s)
+    dy = dr * np.sin(s) + r * np.cos(s)
+    yaw = np.arctan2(dy, dx)
+    poses = np.zeros((n_poses, 4, 4))
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    poses[:, 0, 0] = cy
+    poses[:, 0, 1] = -sy
+    poses[:, 1, 0] = sy
+    poses[:, 1, 1] = cy
+    poses[:, 2, 2] = 1.0
+    poses[:, 0, 3] = x
+    poses[:, 1, 3] = y
+    poses[:, 2, 3] = height
+    poses[:, 3, 3] = 1.0
+    return poses
+
+
 def straight_trajectory(n_poses: int, step: float = 0.4, height: float = 2.0,
                         yaw_rate: float = 0.0) -> np.ndarray:
     """Constant-velocity (optionally turning) trajectory."""
@@ -265,6 +295,8 @@ def make_sequence(lidar: LidarConfig, n_scans: int, *, seed: int = 0,
         poses = straight_trajectory(n_gen, **traj_kw)
     elif trajectory == "figure8":
         poses = figure8_trajectory(n_gen, **traj_kw)
+    elif trajectory == "cloverleaf":
+        poses = cloverleaf_trajectory(n_gen, **traj_kw)
     else:
         raise ValueError(trajectory)
     rng = np.random.default_rng(seed + 1)

@@ -172,28 +172,35 @@ def main():
     cur = jnp.maximum(st.map.kf.count - 1, 0)
 
     def b_hist(carry, _):
-        kf2 = st.map.kf._replace(poses6=st.map.kf.poses6 + 0.0 * carry)
+        c, kf = carry
+        kf2 = kf._replace(poses6=kf.poses6 + 0.0 * c)
         pts, mk = loop.history_submap(cfg, kf2, jnp.int32(0))
-        return pts.sum(), None
+        return (pts.sum(), kf), None
 
-    timed_scan("loop.history_submap", b_hist, jnp.float32(0), dummy)
+    # kf rides in the carry: a closure-captured keyframe store becomes a
+    # ~700 MB constant in the compile request (the tunnel rejects it).
+    timed_scan("loop.history_submap", b_hist,
+               (jnp.float32(0), st.map.kf), dummy)
 
     place = se3.pose6_to_mat(st.map.kf.poses6[0])
 
     def b_verify(carry, _):
-        kf2 = st.map.kf._replace(poses6=st.map.kf.poses6 + 0.0 * carry)
+        c, kf = carry
+        kf2 = kf._replace(poses6=kf.poses6 + 0.0 * c)
         Z, fit, ok = loop.verify(cfg, kf2, cur, jnp.int32(0), place)
-        return fit, None
+        return (fit, kf), None
 
-    timed_scan("loop.verify (ICP)", b_verify, jnp.float32(0), dummy)
+    timed_scan("loop.verify (ICP)", b_verify,
+               (jnp.float32(0), st.map.kf), dummy)
 
     def b_pg(carry, _):
-        p6 = st.map.kf.poses6 + 0.0 * carry
-        out = posegraph.solve(cfg, p6, st.map.kf.count, st.map.kf.odom_z,
-                              st.loops)
-        return out.sum(), None
+        c, p6, odz, lps = carry
+        out = posegraph.solve(cfg, p6 + 0.0 * c, st.map.kf.count, odz, lps)
+        return (out.sum(), p6, odz, lps), None
 
-    timed_scan("posegraph.solve", b_pg, jnp.float32(0), dummy)
+    timed_scan("posegraph.solve", b_pg,
+               (jnp.float32(0), st.map.kf.poses6, st.map.kf.odom_z,
+                st.loops), dummy)
 
 
 if __name__ == "__main__":

@@ -57,10 +57,9 @@ def main():
     cnt = np.bincount(ring, minlength=base.lidar.n_scan)
     print(f"less_sharp per-ring counts: max={cnt.max()} total={cnt.sum()}")
 
-    for rb, it, re in [(True, 15, 2), (False, 15, 2), (True, 8, 2),
-                       (True, 8, 4)]:
+    for it, re in [(12, 2), (12, 3), (8, 2), (8, 4)]:
         cfg = base.replace(odom=dataclasses.replace(
-            base.odom, ring_blocked_nn=rb, max_iterations=it,
+            base.odom, max_iterations=it,
             research_every=re, delta_rot_deg=0.0, delta_trans_cm=0.0))
         st0 = odometry.init_state(cfg)
 
@@ -69,7 +68,7 @@ def main():
             return ns, None
 
         f = jax.jit(lambda c, x: jax.lax.scan(b_odo, c, x))
-        timed(f"odometry rb={rb} it={it} re={re}", f, st0, featsj)
+        timed(f"odometry it={it} re={re}", f, st0, featsj)
 
 
 if __name__ == "__main__":

@@ -83,12 +83,12 @@ def main():
 
     def b_gather_s(carry, _):
         q = mapping._transform(T0, chain(surf_q, carry))
-        nu, dof, ok = mapping._surf_geometry(q, sub_s, knn_s, m)
+        nu, dof, ok = mapping._surf_geometry(q, sub_s, knn_s, None, m)
         return nu.sum(), None
 
     def b_gather_c(carry, _):
         q = mapping._transform(T0, chain(c, carry))
-        a, b, ok = mapping._corner_geometry(q, sub_c, knn_c, m)
+        a, b, ok = mapping._corner_geometry(q, sub_c, knn_c, None, m)
         return a.sum(), None
 
     f = lambda body: jax.jit(lambda cr, x: jax.lax.scan(body, cr, x))
