@@ -153,6 +153,27 @@ def _deskew(xi, pts, s, interpolate=True):
     return (T[:, :3, :3] @ pts[..., None])[..., 0] + T[:, :3, 3]
 
 
+def _interp_factor(xi_lin, s):
+    """A(s) = exp((s-1) * xi_lin): the held-constant factor of the de-skew
+    identity  exp(s*xi) = A(s) @ exp(xi)  (EXACT at xi = xi_lin — colinear
+    twists commute).  Used ONLY inside the Jacobian evaluation: residual
+    VALUES always use the exact per-point exp(s*xi) (one N-point exp per
+    evaluation), while jacfwd differentiates through the single shared
+    exp(xi) with A frozen — 6 tangents' worth of per-point exps saved per
+    iteration.  The dropped dA/dxi term is restored to leading order by
+    scaling each Jacobian row by its point's s (d/dxi exp(s*xi) ~ s *
+    Dexp for the small per-scan twists here), matching the reference's
+    hand-derived s-weighted Jacobians (fA.cpp:1290-1318)."""
+    return se3.se3_exp((s - 1.0)[:, None] * xi_lin[None, :])   # (N,4,4)
+
+
+def _fact_points(x, pts, A):
+    """A @ exp(x) @ p — the de-skew factorization's differentiable part."""
+    T = se3.se3_exp(x)
+    p = pts @ T[:3, :3].T + T[:3, 3]
+    return (A[:, :3, :3] @ p[..., None])[..., 0] + A[:, :3, 3]
+
+
 def _corner_residual(xi, q, s, a, b, interpolate=True):
     p = _deskew(xi, q, s, interpolate)
     return residuals.point_to_line(p, a, b)
@@ -163,9 +184,12 @@ def _surf_residual(xi, q, s, a, b, c, interpolate=True):
     return residuals.point_to_plane(p, a, b, c)
 
 
-def _stage_loop(xi0, param_idx, research_fn, resid_fn, corres0, ocfg):
+def _stage_loop(xi0, param_idx, research_fn, resid_fn, jac_fn, corres0,
+                ocfg):
     """Generic 3-DOF LM stage. ``research_fn(xi) -> corres`` (pytree of
-    arrays incl. 'valid'); ``resid_fn(xi, corres) -> (r, valid)``.
+    arrays incl. 'valid'); ``resid_fn(xi, corres) -> (r, valid)`` (exact
+    residuals); ``jac_fn(xi, corres) -> (N,6)`` (factorized s-weighted
+    Jacobian when de-skew is on, see _interp_factor).
 
     The reference stabilizes its Gauss-Newton with a fixed 5% step
     (matB = -0.05*d, fA.cpp:1321); here we use proper adaptive
@@ -180,12 +204,8 @@ def _stage_loop(xi0, param_idx, research_fn, resid_fn, corres0, ocfg):
             it % ocfg.research_every == 0,
             lambda: research_fn(xi), lambda: corres)
 
-        def r_of(x):
-            return resid_fn(x, corres)[0]
-
-        r = r_of(xi)
-        J = jax.jacfwd(r_of)(xi)                   # (N,6)
-        _, valid = resid_fn(xi, corres)
+        r, valid = resid_fn(xi, corres)
+        J = jac_fn(xi, corres)                     # (N,6)
         w = solver.robust_weight(jnp.abs(r), ocfg.robust_slope,
                                  ocfg.robust_min_weight,
                                  it >= ocfg.robust_after_iter)
@@ -211,7 +231,7 @@ def _stage_loop(xi0, param_idx, research_fn, resid_fn, corres0, ocfg):
         xi_new = xi + delta6
 
         cost_old = (w * r * r).sum()
-        r_new = r_of(xi_new)
+        r_new, _ = resid_fn(xi_new, corres)
         cost_new = (w * r_new * r_new).sum()
         accept = (cost_new < cost_old) & jnp.isfinite(cost_new)
         xi = jnp.where(accept, xi_new, xi)
@@ -243,12 +263,15 @@ def _clamp_step(delta, ocfg):
 
 
 def _joint_loop(xi0, corner_research, corner_resid, surf_research,
-                surf_resid, ocfg):
+                surf_resid, corner_jac, surf_jac, ocfg):
     """Joint 6-DOF LM over corner (point-to-line) + surf (point-to-plane)
     residuals together.  Unlike the reference's two-stage 3-DOF split
     (fA.cpp:1270-1478) this keeps all six DOF coupled, so a large yaw error
     cannot poison the roll/pitch/z solve through bad correspondences: the
-    corners pull yaw in the *same* iterations that the planes pin z."""
+    corners pull yaw in the *same* iterations that the planes pin z.
+
+    ``*_resid(xi, corres) -> (r, valid)`` are EXACT; ``*_jac(xi, corres)``
+    return the (possibly de-skew-factorized) Jacobians."""
 
     def research(xi):
         return corner_research(xi), surf_research(xi)
@@ -260,15 +283,10 @@ def _joint_loop(xi0, corner_research, corner_resid, surf_research,
             lambda: research(xi), lambda: corres)
         cc, sc = corres
 
-        def r_of(x):
-            rc, _ = corner_resid(x, cc)
-            rs, _ = surf_resid(x, sc)
-            return jnp.concatenate([rc, rs])
-
-        r = r_of(xi)
-        J = jax.jacfwd(r_of)(xi)                   # (N,6)
-        _, cval = corner_resid(xi, cc)
-        _, sval = surf_resid(xi, sc)
+        rc, cval = corner_resid(xi, cc)
+        rs, sval = surf_resid(xi, sc)
+        r = jnp.concatenate([rc, rs])
+        J = jnp.concatenate([corner_jac(xi, cc), surf_jac(xi, sc)])
         valid = jnp.concatenate([cval, sval])
         w = solver.robust_weight(jnp.abs(r), ocfg.robust_slope,
                                  ocfg.robust_min_weight,
@@ -290,7 +308,9 @@ def _joint_loop(xi0, corner_research, corner_resid, surf_research,
         xi_new = xi + delta
 
         cost_old = (w * r * r).sum()
-        r_new = r_of(xi_new)
+        rc2, _ = corner_resid(xi_new, cc)
+        rs2, _ = surf_resid(xi_new, sc)
+        r_new = jnp.concatenate([rc2, rs2])
         cost_new = (w * r_new * r_new).sum()
         accept = (cost_new < cost_old) & jnp.isfinite(cost_new)
         xi = jnp.where(accept, xi_new, xi)
@@ -375,9 +395,40 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
                                  corner_t.xyz[j], corner_t.xyz[l2], dk)
             return r, valid
 
+        # Jacobians: exact jacfwd when de-skew is off (one shared exp);
+        # factorized + s-row-weighted when on (see _interp_factor) — the
+        # per-point exp runs once per iteration, not once per tangent.
+        if dk:
+            def corner_jac(xi, corres):
+                j, l2, _ = corres
+                a, b = corner_t.xyz[j], corner_t.xyz[l2]
+                A = _interp_factor(jax.lax.stop_gradient(xi),
+                                   sharp.rel_time)
+                J = jax.jacfwd(lambda x: residuals.point_to_line(
+                    _fact_points(x, sharp.xyz, A), a, b))(xi)
+                return J * sharp.rel_time[:, None]
+
+            def surf_jac(xi, corres):
+                j, l2, l3, _ = corres
+                a, b, c = (surf_t.xyz[j], surf_t.xyz[l2], surf_t.xyz[l3])
+                A = _interp_factor(jax.lax.stop_gradient(xi),
+                                   flat.rel_time)
+                J = jax.jacfwd(lambda x: residuals.point_to_plane(
+                    _fact_points(x, flat.xyz, A), a, b, c))(xi)
+                return J * flat.rel_time[:, None]
+        else:
+            def corner_jac(xi, corres):
+                return jax.jacfwd(
+                    lambda x: corner_resid(x, corres)[0])(xi)
+
+            def surf_jac(xi, corres):
+                return jax.jacfwd(
+                    lambda x: surf_resid(x, corres)[0])(xi)
+
         if ocfg.joint_6dof:
             xi2, n_corres = _joint_loop(xi0, corner_research, corner_resid,
-                                        surf_research, surf_resid, ocfg)
+                                        surf_research, surf_resid,
+                                        corner_jac, surf_jac, ocfg)
             enough = n_corres >= ocfg.min_total_corres
         else:
             # Reference two-stage split: surf -> [roll, pitch, tz], then
@@ -385,10 +436,10 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
             enough = (sharp.mask.sum() >= ocfg.min_feature_points) & \
                      (flat.mask.sum() >= ocfg.min_surf_points)
             xi1 = _stage_loop(xi0, (0, 1, 5), surf_research, surf_resid,
-                              surf_research(xi0), ocfg)
+                              surf_jac, surf_research(xi0), ocfg)
             # Stage 2: corner features -> [yaw, tx, ty] = twist idx [2,3,4].
             xi2 = _stage_loop(xi1, (2, 3, 4), corner_research, corner_resid,
-                              corner_research(xi1), ocfg)
+                              corner_jac, corner_research(xi1), ocfg)
 
         xi = jnp.where(enough, xi2, xi0)
         xi = jnp.where(jnp.isfinite(xi), xi, 0.0)

