@@ -95,12 +95,13 @@ class SegmentationConfig:
     outlier_keep_stride: int = 5         # imageProjection.cpp:331 (every 5th outlier)
     # Parallel flood-fill rounds; each round runs 4 directional segmented
     # min-scans (ops/segmentation.py).  A component needs one round per
-    # direction ALTERNATION of its worst path; real lidar clusters
-    # (vehicles, trunks, walls) are convex-ish and converge in <= 3 —
-    # gated by the BFS-parity test (test_frontend.py).  Each round costs
-    # ~0.6 ms of latency-bound scan micro-ops on TPU, so the budget is
-    # deliberately tight; raise for exotic spiral geometry.
-    max_label_rounds: int = 3
+    # direction ALTERNATION of its worst path.  6 rounds measurably
+    # matter on full-size street scenes: a 5-seed figure-8 sweep (loops
+    # off) gives mean ATE 0.96 at 6 rounds vs 2.5 at 3 rounds — under-
+    # merged wall fragments fail the 30-px rule and starve the feature
+    # extractor (the tiny BFS-parity scene converges at 3, which is why
+    # the unit test alone was a misleading gate).  ~0.55 ms/round on TPU.
+    max_label_rounds: int = 6
 
 
 @dataclass(frozen=True)
@@ -187,6 +188,23 @@ class OdometryConfig:
     # convergence speed near the optimum while bounding basin jumps.
     max_step_rot: float = 0.1            # rad per accepted iteration
     max_step_trans: float = 0.5          # m per accepted iteration
+    # Per-SCAN trust tube around the motion prior: the solution may not
+    # leave ||rot|| <= max_rot_from_prior, ||trans|| <= max_trans_from_
+    # prior of the initial guess.  The reference's 0.05-scaled creeping
+    # steps (fA.cpp:1322) enforce this implicitly — they cannot jump
+    # basins; our full-Newton steps CAN, and in rotationally
+    # self-similar scenes (pillar rows) the re-associated robust cost has
+    # aliased minima ~25 deg away that a jump then locks in for several
+    # scans (measured: seed-12 figure-8, scans 206-215, ~25 deg/scan yaw
+    # error burst -> 12.5 m ATE; residual 7-13 deg jumps at a 0.26 tube).
+    # 0.09 rad/scan DEVIATION FROM THE PRIOR = a 52 deg/s/scan rate
+    # change at 10 Hz — an order of magnitude above the bench
+    # trajectories' true deviation-from-constant-velocity (<0.7 deg/scan)
+    # and any wheeled-vehicle dynamics, and below the observed aliasing
+    # jumps.  Platforms with genuinely aggressive rate changes should
+    # enable the IMU prior (ImuConfig), as the reference intends.
+    max_rot_from_prior: float = 0.09
+    max_trans_from_prior: float = 2.5
 
 
 @dataclass(frozen=True)

@@ -228,7 +228,7 @@ def _stage_loop(xi0, param_idx, research_fn, resid_fn, jac_fn, corres0,
         delta3 = jnp.where(jnp.isfinite(delta3), delta3, 0.0)
         delta6 = jnp.zeros((6,), xi.dtype).at[idx].set(delta3)
         delta6 = _clamp_step(delta6, ocfg)
-        xi_new = xi + delta6
+        xi_new = _clamp_to_prior(xi + delta6, xi0, ocfg)
 
         cost_old = (w * r * r).sum()
         r_new, _ = resid_fn(xi_new, corres)
@@ -260,6 +260,20 @@ def _clamp_step(delta, ocfg):
         ocfg.max_step_rot / jnp.maximum(wn, 1e-12),
         ocfg.max_step_trans / jnp.maximum(vn, 1e-12)))
     return delta * s
+
+
+def _clamp_to_prior(xi_new, xi_prior, ocfg):
+    """Per-scan trust tube: bound the TOTAL deviation of the candidate
+    solution from the motion prior (see OdometryConfig.max_rot_from_prior
+    — the anti-basin-jump guard the reference's creeping steps provide
+    implicitly)."""
+    d = xi_new - xi_prior
+    wn = jnp.linalg.norm(d[:3])
+    vn = jnp.linalg.norm(d[3:])
+    s = jnp.minimum(1.0, jnp.minimum(
+        ocfg.max_rot_from_prior / jnp.maximum(wn, 1e-12),
+        ocfg.max_trans_from_prior / jnp.maximum(vn, 1e-12)))
+    return xi_prior + d * s
 
 
 def _joint_loop(xi0, corner_research, corner_resid, surf_research,
@@ -305,7 +319,7 @@ def _joint_loop(xi0, corner_research, corner_resid, surf_research,
         delta = jnp.where(degen, Pm @ delta, delta)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         delta = _clamp_step(delta, ocfg)
-        xi_new = xi + delta
+        xi_new = _clamp_to_prior(xi + delta, xi0, ocfg)
 
         cost_old = (w * r * r).sum()
         rc2, _ = corner_resid(xi_new, cc)

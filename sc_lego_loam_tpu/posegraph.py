@@ -140,8 +140,6 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     F = free_edges.shape[0]
     chain_starts = jnp.zeros((K,), bool).at[free_edges].set(
         True, mode="drop")
-    free_cols = (free_edges[:, None] * 6 +
-                 jnp.arange(6)[None, :]).reshape(-1)      # (6F,)
 
     w_prior = 1.0 / jnp.sqrt(jnp.asarray(pg.prior_var, jnp.float32))
     w_odom = 1.0 / jnp.sqrt(jnp.asarray(pg.odom_var, jnp.float32))
@@ -203,35 +201,50 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
         rlw = rl * w_c[:, None]
         Qi = (Jl[:, :, :6] * w_c[:, None, None]) @ Phi[li]
         Qj = (Jl[:, :, 6:] * w_c[:, None, None]) @ Phi[lj]
-        karange = jnp.arange(K)
-        mask_i = (karange[None, :] <= li[:, None]).astype(jnp.float32)
-        mask_j = (karange[None, :] <= lj[:, None]).astype(jnp.float32)
-        # Ghat[l,a,k,c] = rows of G_u M (loop Jacobians in edge space).
-        Ghat = (jnp.einsum("lab,kbc->lakc", Qi, Psi) *
-                mask_i[:, None, :, None] +
-                jnp.einsum("lab,kbc->lakc", Qj, Psi) *
-                mask_j[:, None, :, None])
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            Ghat = jax.lax.with_sharding_constraint(
-                Ghat, NamedSharding(mesh, P("kf", None, None, None)))
-        G2 = Ghat.reshape(6 * L, 6 * K)
 
         # ---- normal equations in w: (Lambda + G^T G) w = -(Lambda r + G^T rl)
         # Solved in the "loop residual" variable v = rlw + G w, which keeps
         # every quantity O(residual): w = -r_hat - Lambda^{-1} G^T v and
-        # (I + G Lambda^{-1} G^T) v = rlw - G r_hat.  Free (chain-boundary)
-        # edges have ~zero stiffness, so their w is appended to the dense
-        # system as an explicit unknown instead of multiplying by 1/lambda:
-        #   [ I + Gs Ls^{-1} Gs^T   -Gf ] [ v  ]   [ rlw - G r_hat ]
-        #   [ Gf^T             damping*I] [ wf ] = [ 0             ]
-        inv_lam = (1.0 / lam).reshape(-1)
+        # (I + G Lambda^{-1} G^T) v = rlw - G r_hat.
+        #
+        # G is NEVER materialized (a dense (6L,6K) Ghat is 600 MB at the
+        # 16k-keyframe / 256-loop capacity and killed the TPU compiler):
+        # every contraction with G uses its prefix structure
+        #   G_l x = Qi_l sum_{k<=li} P_k x_k + Qj_l sum_{k<=lj} P_k x_k,
+        # so  G r_hat  needs one (K,6) cumsum gathered at li/lj,
+        #     G L^-1 G^T needs the cumsum W_m = sum_{k<=m} P_k invL_k P_k^T
+        #       of (6,6) blocks gathered at pairwise min indices, and
+        #     G^T v needs a scatter-add of Q^T v at li/lj + one reverse
+        #       cumsum.  O(36 K + 144 L^2) memory instead of O(36 L K).
+        inv_lam = 1.0 / lam                              # (K,6)
         if F:
-            inv_lam = inv_lam.at[free_cols].set(0.0)     # stiff part only
-        M11 = eyeL + (G2 * inv_lam[None, :]) @ G2.T      # (6L,6L)
-        rhs1 = rlw.reshape(-1) - G2 @ r_hat.reshape(-1)
+            inv_lam = inv_lam.at[free_edges].set(0.0)    # stiff part only
+
+        Pinv = Psi * inv_lam[:, None, :]                 # P_k invL_k
+        W = jnp.cumsum(jnp.einsum("kab,kcb->kac", Pinv, Psi), 0)  # (K,6,6)
+        C = jnp.cumsum(jnp.einsum("kab,kb->ka", Psi, r_hat), 0)   # (K,6)
+
+        # rhs1_l = rlw_l - Qi_l C_{li} - Qj_l C_{lj}
+        rhs1 = (rlw - jnp.einsum("lab,lb->la", Qi, C[li])
+                - jnp.einsum("lab,lb->la", Qj, C[lj])).reshape(-1)
+
+        # M11 = I + sum over the 4 (Qi/Qj x Qi/Qj) terms of
+        #   Q_l W_{min(idx_l, idx_m)} Q_m^T.
+        def term(Qa, ia, Qb, ib):
+            Wg = W[jnp.minimum(ia[:, None], ib[None, :])]   # (L,L,6,6)
+            return jnp.einsum("lab,lmbc,mdc->lamd", Qa, Wg, Qb)
+
+        M11 = (term(Qi, li, Qi, li) + term(Qi, li, Qj, lj)
+               + term(Qj, lj, Qi, li) + term(Qj, lj, Qj, lj)
+               ).reshape(6 * L, 6 * L) + eyeL
         if F:
-            Gf = G2[:, free_cols]                        # (6L,6F)
+            # Gf[:, f] = Qi_l P_f [f<=li] + Qj_l P_f [f<=lj]   (6L, 6F)
+            Pf = Psi[free_edges]                         # (F,6,6)
+            mi = (free_edges[None, :] <= li[:, None]).astype(jnp.float32)
+            mj = (free_edges[None, :] <= lj[:, None]).astype(jnp.float32)
+            Gf = (jnp.einsum("lab,fbc->lafc", Qi, Pf) * mi[:, None, :, None]
+                  + jnp.einsum("lab,fbc->lafc", Qj, Pf)
+                  * mj[:, None, :, None]).reshape(6 * L, 6 * F)
             Aug = jnp.block(
                 [[M11, -Gf],
                  [Gf.T, pg.damping * jnp.eye(6 * F, dtype=jnp.float32)]])
@@ -242,7 +255,15 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
         else:
             v = jnp.linalg.solve(M11, rhs1)
             wf = jnp.zeros((0,), jnp.float32)
-        w_sol = (-r_hat.reshape(-1) - inv_lam * (G2.T @ v)).reshape(K, 6)
+
+        # (G^T v)_k = P_k^T * suffix-sum_k( scatter(Q^T v at li/lj) ).
+        vL = v.reshape(L, 6)
+        u = jnp.zeros((K, 6), jnp.float32)
+        u = u.at[li].add(jnp.einsum("lba,lb->la", Qi, vL), mode="drop")
+        u = u.at[lj].add(jnp.einsum("lba,lb->la", Qj, vL), mode="drop")
+        S = jnp.cumsum(u[::-1], 0)[::-1]                 # suffix-inclusive
+        Gtv = jnp.einsum("kba,kb->ka", Psi, S)
+        w_sol = -r_hat - inv_lam * Gtv
         if F:
             w_sol = w_sol.at[free_edges].set(wf.reshape(F, 6))
 
