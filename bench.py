@@ -215,9 +215,16 @@ def main():
     # ---- 1. the real-data path (headline) ----------------------------- #
     if RUN_REAL:
         rcfg = mulran_engine_config()   # unordered scatter proj + de-skew
+        # skew=True emits CAPTURE order (column-major) — not beam-row
+        # order, so the scatter projection is exercised, but the array's
+        # first/last points still anchor the intra-scan sweep, which is
+        # the same input contract the reference assumes
+        # (findStartEndAngle, iP.cpp:199-209) and every real sensor
+        # stream satisfies.  A fully shuffled cloud randomizes the
+        # de-skew time base and injects ~1 m/scan of artificial noise.
         scans, valids, gt = get_sequence(
             rcfg.lidar, N_SCANS, trajectory="figure8", noise=0.01,
-            seed=SEED, shuffle=True, skew=True, radius=30.0, loops=1.05)
+            seed=SEED, shuffle=False, skew=True, radius=30.0, loops=1.05)
         engine, fps = run_engine(rcfg, scans, valids, WARMUP)
         ate, ate_steady = ates(engine, gt, WARMUP)
         extra["real"] = {

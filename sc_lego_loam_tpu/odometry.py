@@ -184,8 +184,8 @@ def _surf_residual(xi, q, s, a, b, c, interpolate=True):
     return residuals.point_to_plane(p, a, b, c)
 
 
-def _stage_loop(xi0, param_idx, research_fn, resid_fn, jac_fn, corres0,
-                ocfg):
+def _stage_loop(xi0, xi_anchor, param_idx, research_fn, resid_fn, jac_fn,
+                corres0, ocfg):
     """Generic 3-DOF LM stage. ``research_fn(xi) -> corres`` (pytree of
     arrays incl. 'valid'); ``resid_fn(xi, corres) -> (r, valid)`` (exact
     residuals); ``jac_fn(xi, corres) -> (N,6)`` (factorized s-weighted
@@ -228,7 +228,7 @@ def _stage_loop(xi0, param_idx, research_fn, resid_fn, jac_fn, corres0,
         delta3 = jnp.where(jnp.isfinite(delta3), delta3, 0.0)
         delta6 = jnp.zeros((6,), xi.dtype).at[idx].set(delta3)
         delta6 = _clamp_step(delta6, ocfg)
-        xi_new = _clamp_to_prior(xi + delta6, xi0, ocfg)
+        xi_new = _clamp_to_prior(xi + delta6, xi_anchor, ocfg)
 
         cost_old = (w * r * r).sum()
         r_new, _ = resid_fn(xi_new, corres)
@@ -276,8 +276,8 @@ def _clamp_to_prior(xi_new, xi_prior, ocfg):
     return xi_prior + d * s
 
 
-def _joint_loop(xi0, corner_research, corner_resid, surf_research,
-                surf_resid, corner_jac, surf_jac, ocfg):
+def _joint_loop(xi0, xi_anchor, corner_research, corner_resid,
+                surf_research, surf_resid, corner_jac, surf_jac, ocfg):
     """Joint 6-DOF LM over corner (point-to-line) + surf (point-to-plane)
     residuals together.  Unlike the reference's two-stage 3-DOF split
     (fA.cpp:1270-1478) this keeps all six DOF coupled, so a large yaw error
@@ -319,7 +319,7 @@ def _joint_loop(xi0, corner_research, corner_resid, surf_research,
         delta = jnp.where(degen, Pm @ delta, delta)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         delta = _clamp_step(delta, ocfg)
-        xi_new = _clamp_to_prior(xi + delta, xi0, ocfg)
+        xi_new = _clamp_to_prior(xi + delta, xi_anchor, ocfg)
 
         cost_old = (w * r * r).sum()
         rc2, _ = corner_resid(xi_new, cc)
@@ -367,6 +367,11 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
     def do_track():
         # Constant-velocity prior, unless an (IMU) prior is supplied.
         xi0 = state.motion if xi_prior is None else xi_prior
+        # The trust tube is a DYNAMICS bound (bounded rate change per
+        # scan), so it anchors at the previous scan's ESTIMATED motion —
+        # never at the initial guess, whose own bias (e.g. a coarse IMU
+        # prior) it would otherwise lock in.
+        xi_anchor = state.motion
         if ocfg.joint_6dof and ocfg.dense_queries:
             def subsample(fc: FeatureCloud, cap: int) -> FeatureCloud:
                 # Strided static-shape subsample of the padded bank (entries
@@ -440,20 +445,23 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
                     lambda x: surf_resid(x, corres)[0])(xi)
 
         if ocfg.joint_6dof:
-            xi2, n_corres = _joint_loop(xi0, corner_research, corner_resid,
-                                        surf_research, surf_resid,
-                                        corner_jac, surf_jac, ocfg)
+            xi2, n_corres = _joint_loop(xi0, xi_anchor, corner_research,
+                                        corner_resid, surf_research,
+                                        surf_resid, corner_jac, surf_jac,
+                                        ocfg)
             enough = n_corres >= ocfg.min_total_corres
         else:
             # Reference two-stage split: surf -> [roll, pitch, tz], then
             # corner -> [yaw, tx, ty] (fA.cpp:1270-1478).
             enough = (sharp.mask.sum() >= ocfg.min_feature_points) & \
                      (flat.mask.sum() >= ocfg.min_surf_points)
-            xi1 = _stage_loop(xi0, (0, 1, 5), surf_research, surf_resid,
-                              surf_jac, surf_research(xi0), ocfg)
+            xi1 = _stage_loop(xi0, xi_anchor, (0, 1, 5), surf_research,
+                              surf_resid, surf_jac, surf_research(xi0),
+                              ocfg)
             # Stage 2: corner features -> [yaw, tx, ty] = twist idx [2,3,4].
-            xi2 = _stage_loop(xi1, (2, 3, 4), corner_research, corner_resid,
-                              corner_jac, corner_research(xi1), ocfg)
+            xi2 = _stage_loop(xi1, xi_anchor, (2, 3, 4), corner_research,
+                              corner_resid, corner_jac,
+                              corner_research(xi1), ocfg)
 
         xi = jnp.where(enough, xi2, xi0)
         xi = jnp.where(jnp.isfinite(xi), xi, 0.0)

@@ -57,6 +57,13 @@ def project(points: jnp.ndarray, mask: jnp.ndarray,
     Row from vertical angle (imageProjection.cpp:225-231; ring channel not
     needed since rows are recomputed exactly), col from horizontal angle
     (imageProjection.cpp:235-242), min-range cull (imageProjection.cpp:244).
+
+    INPUT CONTRACT (same as the reference, findStartEndAngle
+    iP.cpp:199-209): the array's first and last VALID points must be the
+    first and last CAPTURED returns — their azimuths anchor the
+    intra-scan sweep that rel_time (the de-skew time base) interpolates.
+    Beam/ring interleaving between them is fine (every real sensor
+    stream qualifies); a fully shuffled cloud randomizes the time base.
     """
     H, W = lidar.n_scan, lidar.horizon_scan
     x, y, z = points[:, 0], points[:, 1], points[:, 2]

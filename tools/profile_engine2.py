@@ -23,7 +23,16 @@ N = 16
 
 
 def main():
+    import dataclasses
     cfg = synthetic_config()
+    # The lax.scan timing harness carries the mapper state WITHOUT
+    # donation (two live copies + temporaries); at the 16k production
+    # caps that exceeds HBM.  Per-tick cost does not scale with the cap
+    # (submap gathers 50 recent; retrieval is one matmul), so profile at
+    # the 4k bank.
+    cfg = cfg.replace(
+        cap=dataclasses.replace(cfg.cap, max_keyframes=4096),
+        posegraph=dataclasses.replace(cfg.posegraph, max_loops=128))
     print("backend:", jax.default_backend())
     scans, valids, _ = synthetic.make_sequence(
         cfg.lidar, N, trajectory="figure8", radius=30.0, loops=0.15,
