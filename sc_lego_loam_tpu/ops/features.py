@@ -187,7 +187,14 @@ def _scatter_label(label, pos, flag, val):
 
 
 def extract(cloud: SegmentedCloud, feat: FeatureConfig,
-            cap: CapacityConfig) -> FeatureSet:
+            cap: CapacityConfig, sparse_picks: bool = True) -> FeatureSet:
+    """``sparse_picks=False`` (the dense-query engine configuration,
+    OdometryConfig.joint_6dof + dense_queries) skips everything only the
+    reference's SPARSE pick sets consume — the ground-masked curvature
+    pass, surf top-k + greedy pick, edge-pick suppression zones, and the
+    sharp/flat compactions (~3 ms/scan of latency-bound micro-ops on
+    TPU): the dense path matches with less_sharp/less_flat exclusively
+    and sharp/flat come back empty."""
     H, W = cloud.rng.shape
     S = feat.sections
     curv, curv_ok = curvature(cloud, feat)
@@ -234,37 +241,6 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
 
     label = jnp.zeros((H, W), jnp.int8)
     label = _scatter_label(label, pos, less_f, 1)
-    label = _scatter_label(label, pos, sharp_f, 2)
-
-    # Suppression zones of the edge picks, for the surf phase (one pass).
-    spos, smask = _suppress_positions(cloud.col, pos.reshape(H, -1),
-                                      cloud.count, feat)
-    smask &= less_f.reshape(H, -1)[..., None]
-    supp_map = _onehot_mark(W, spos, smask)
-
-    # ---- surf picks ----
-    # Ground planarity judged against ground neighbors only (see curvature).
-    gcurv, _ = curvature(cloud, feat, neighbor_mask=cloud.ground & cloud.valid)
-    # Ground is exempt from the occlusion/parallel-beam pre-mask: ground is
-    # the lowest surface, so an apparent range discontinuity at a ground
-    # pixel is an artifact of the every-5th-ground compaction interleaving
-    # (fA.cpp marks +-5 compacted neighbors around any jump, which on short
-    # ground runs pre-picks ALL of them).  Pick-suppression marks from the
-    # edge phase still apply.
-    KS = min(8, SEC_L - 1)
-    _BIG_F = jnp.float32(1e18)
-    excl = supp_map | (occl & ~cloud.ground)
-    cand_s = curv_ok & ~excl & (gcurv < feat.surf_threshold) & cloud.ground
-    score_sr = jnp.where(cand_s, -gcurv, -_BIG_F)          # (H,W)
-    score_s = jnp.where(sec_in, gather_row(score_sr, sec_pos), -_BIG_F)
-    val_s, sel_s = jax.lax.top_k(score_s, KS)
-    pos_s = jnp.take_along_axis(sec_pos, sel_s, -1)
-    has_s = val_s > -_BIG_F * 0.5
-    picked_s = _greedy_pick(pos_s, has_s, gather_row(chain, pos_s), feat)
-    rank_s = jnp.cumsum(picked_s.astype(jnp.int32), -1)
-    flat_f = picked_s & (rank_s <= feat.surf_per_section)
-    neg = _scatter_label(jnp.zeros((H, W), jnp.int8), pos_s, flat_f, 1)
-    label = jnp.where(neg.astype(bool) & (label == 0), jnp.int8(-1), label)
 
     rings = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 
@@ -279,24 +255,74 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
             rel_time=jnp.where(ok, cloud.rel_time.reshape(-1)[idx], 0.0),
         )
 
-    sharp = gather_class(label == 2, cap.sharp_pad)
+    def empty(pad):
+        return FeatureCloud(
+            xyz=jnp.zeros((pad, 3), jnp.float32),
+            mask=jnp.zeros((pad,), bool),
+            ring=jnp.zeros((pad,), jnp.int32),
+            rel_time=jnp.zeros((pad,), jnp.float32))
+
+    if sparse_picks:
+        label = _scatter_label(label, pos, sharp_f, 2)
+
+        # Suppression zones of the edge picks, for the surf phase.
+        spos, smask = _suppress_positions(cloud.col, pos.reshape(H, -1),
+                                          cloud.count, feat)
+        smask &= less_f.reshape(H, -1)[..., None]
+        supp_map = _onehot_mark(W, spos, smask)
+
+        # ---- surf picks ----
+        # Ground planarity judged against ground neighbors only (see
+        # curvature).  Ground is exempt from the occlusion/parallel-beam
+        # pre-mask: ground is the lowest surface, so an apparent range
+        # discontinuity at a ground pixel is an artifact of the
+        # every-5th-ground compaction interleaving (fA.cpp marks +-5
+        # compacted neighbors around any jump, which on short ground runs
+        # pre-picks ALL of them).  Pick-suppression marks still apply.
+        gcurv, _ = curvature(cloud, feat,
+                             neighbor_mask=cloud.ground & cloud.valid)
+        KS = min(8, SEC_L - 1)
+        _BIG_F = jnp.float32(1e18)
+        excl = supp_map | (occl & ~cloud.ground)
+        cand_s = curv_ok & ~excl & (gcurv < feat.surf_threshold) & \
+            cloud.ground
+        score_sr = jnp.where(cand_s, -gcurv, -_BIG_F)      # (H,W)
+        score_s = jnp.where(sec_in, gather_row(score_sr, sec_pos), -_BIG_F)
+        val_s, sel_s = jax.lax.top_k(score_s, KS)
+        pos_s = jnp.take_along_axis(sec_pos, sel_s, -1)
+        has_s = val_s > -_BIG_F * 0.5
+        picked_s = _greedy_pick(pos_s, has_s, gather_row(chain, pos_s),
+                                feat)
+        rank_s = jnp.cumsum(picked_s.astype(jnp.int32), -1)
+        flat_f = picked_s & (rank_s <= feat.surf_per_section)
+        neg = _scatter_label(jnp.zeros((H, W), jnp.int8), pos_s, flat_f, 1)
+        label = jnp.where(neg.astype(bool) & (label == 0), jnp.int8(-1),
+                          label)
+        sharp = gather_class(label == 2, cap.sharp_pad)
+        flat = gather_class(label == -1, cap.flat_pad)
+    else:
+        sharp = empty(cap.sharp_pad)
+        flat = empty(cap.flat_pad)
+
     less_sharp = gather_class(label >= 1, cap.less_sharp_pad)
-    flat = gather_class(label == -1, cap.flat_pad)
 
     # Less-flat: every in-range point not picked as an edge
-    # (fA.cpp:771-782 cloudLabel <= 0), voxel-downsampled at 0.2 m.
+    # (fA.cpp:771-782 cloudLabel <= 0), voxel-decimated at 0.2 m (ONE
+    # representative return per voxel: the set is an NN target/query
+    # bank, where PCL-style centroids buy nothing over a real return —
+    # and the winner's ring/rel_time channels stay exact instead of
+    # voxel-averaged).
     lf_mask = curv_ok & (label <= 0)
     pts = cloud.xyz.reshape(-1, 3)
-    extras = jnp.stack([rings.reshape(-1).astype(jnp.float32),
-                        cloud.rel_time.reshape(-1)], -1)
-    from .voxel import voxel_downsample_hash
-    ds_pts, ds_mask, ds_ex = voxel_downsample_hash(
+    from .voxel import voxel_decimate
+    ds_pts, ds_mask, ds_idx = voxel_decimate(
         pts, lf_mask.reshape(-1), feat.less_flat_leaf, cap.less_flat_pad,
-        extras=extras)
+        table_bits=16, return_indices=True)
     less_flat = FeatureCloud(
         xyz=ds_pts, mask=ds_mask,
-        ring=jnp.round(ds_ex[:, 0]).astype(jnp.int32),
-        rel_time=ds_ex[:, 1],
+        ring=jnp.where(ds_mask, rings.reshape(-1)[ds_idx], 0),
+        rel_time=jnp.where(ds_mask, cloud.rel_time.reshape(-1)[ds_idx],
+                           0.0),
     )
     return FeatureSet(sharp=sharp, less_sharp=less_sharp, flat=flat,
                       less_flat=less_flat)

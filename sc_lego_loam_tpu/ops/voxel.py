@@ -106,7 +106,8 @@ def voxel_downsample_hash(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
 
 
 def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
-                   out_pad: int, table_bits: int = 18):
+                   out_pad: int, table_bits: int = 18,
+                   return_indices: bool = False):
     """O(n) voxel decimation: keep ONE representative point per voxel via a
     hash scatter-min (no sort).  Used for large submap assembly where the
     map is only a nearest-neighbor target — PCL-style centroids (see
@@ -114,7 +115,9 @@ def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     they need dominate the frame budget at ~1e6 points.
 
     Hash collisions merge distant voxels (rare at 2^table_bits buckets);
-    acceptable for NN targets. Returns (points (out_pad,3), mask (out_pad,)).
+    acceptable for NN targets. Returns (points (out_pad,3), mask (out_pad,))
+    [+ source indices (out_pad,) with return_indices=True, for gathering
+    per-point side channels of the winners].
     """
     n = points.shape[0]
     T = 1 << table_bits
@@ -139,4 +142,6 @@ def voxel_decimate(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     sel, ok = compact_indices(occupied, out_pad)
     out_idx = jnp.clip(winner[sel], 0, n - 1)
     out = jnp.where(ok[:, None], points[out_idx], 0.0)
+    if return_indices:
+        return out, ok, out_idx
     return out, ok

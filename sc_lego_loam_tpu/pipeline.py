@@ -62,8 +62,13 @@ from .utils.profiling import StageTimer
 
 @functools.partial(jax.jit, static_argnums=0)
 def _extract(config: PipelineConfig, cloud, outlier_grid):
-    """Feature extraction + outlier-list compaction (jitted)."""
-    fs = features_op.extract(cloud, config.feat, config.cap)
+    """Feature extraction + outlier-list compaction (jitted).  The sparse
+    pick sets are skipped when the dense-query odometry never reads them
+    (see features.extract)."""
+    fs = features_op.extract(
+        cloud, config.feat, config.cap,
+        sparse_picks=not (config.odom.joint_6dof
+                          and config.odom.dense_queries))
     # Outlier grid -> padded list (adjustOutlierCloud analog,
     # fA.cpp:1746-1757 just forwards it at 5 Hz).
     from .ops.compact import compact
