@@ -60,7 +60,24 @@ _world_acc = world_acceleration
 
 
 @jax.jit
-def push(buf: ImuBuffer, t, rpy, acc_raw, gyro) -> ImuBuffer:
+def push_many(buf: ImuBuffer, ts, rpys, accs, gyros, valid) -> ImuBuffer:
+    """Insert a PADDED batch of samples in one dispatch (a per-sample
+    jitted push costs one host->device dispatch each — at 10-20 samples
+    per scan that would double the per-scan dispatch count; the batch is
+    one lax.scan).  ``valid`` masks the padding: invalid rows leave the
+    buffer untouched."""
+
+    def body(b, x):
+        t, r, a, g, ok = x
+        nb = _push(b, t, r, a, g)
+        return jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                            nb, b), None
+
+    out, _ = jax.lax.scan(body, buf, (ts, rpys, accs, gyros, valid))
+    return out
+
+
+def _push(buf: ImuBuffer, t, rpy, acc_raw, gyro) -> ImuBuffer:
     """Insert one sample and dead-reckon shift/velocity from the previous
     entry (fA.cpp:392-429): x += v dt + 1/2 a dt^2, v += a dt."""
     Q = buf.time.shape[0]
@@ -82,6 +99,9 @@ def push(buf: ImuBuffer, t, rpy, acc_raw, gyro) -> ImuBuffer:
         velo=buf.velo.at[i].set(velo),
         count=buf.count + 1,
     )
+
+
+push = jax.jit(_push)
 
 
 def _interp(buf: ImuBuffer, ts: jnp.ndarray):
@@ -117,22 +137,45 @@ def _interp(buf: ImuBuffer, ts: jnp.ndarray):
 
 
 @jax.jit
-def deskew(buf: ImuBuffer, points: jnp.ndarray, rel_time: jnp.ndarray,
-           scan_start: jnp.ndarray, scan_period: float = 0.1):
-    """IMU-based de-skew: re-express every point in the scan-start frame
-    (TransformToStartIMU, fA.cpp:365-390).
+def deskew_to_end(buf: ImuBuffer, points: jnp.ndarray, rel_time: jnp.ndarray,
+                  scan_start: jnp.ndarray, scan_period: float,
+                  v_world: jnp.ndarray):
+    """Full IMU de-skew into the scan-END frame.  The caller then marks the
+    cloud instantaneous (rel_time := 1), so the odometry's motion-
+    interpolated exp(s*xi) degenerates to the plain relative transform —
+    the skew is removed HERE, once, instead of being re-estimated by the
+    solver every iteration.
+
+    Composition of the correction, per point captured at time t:
+    - rotation: R_end^T R_t from the interpolated IMU attitude (absolute
+      and drift-bounded — the part the reference also trusts outright,
+      TransformToStartIMU fA.cpp:365-390);
+    - translation: dev(t) + v_world (t - t_end), where dev is the IMU
+      dead-reckoned deviation from constant velocity ((shift_t - shift_e)
+      - velo_e (t - t_e), the initial-velocity-INDEPENDENT observable the
+      reference isolates in ShiftToStartIMU, fA.cpp:327-345) and v_world
+      is the engine's own velocity estimate (previous solved scan motion)
+      supplying the constant-velocity part the IMU alone cannot observe.
+      The reference instead leaves the constant-velocity part in the
+      cloud for the solver's s-interpolation to handle; folding the
+      engine velocity in here keeps the output cloud FULLY de-skewed so
+      downstream stages see one consistent frame.
 
     points: (N,3) sensor frame; rel_time: (N,) in [0,1); scan_start: ()
-    absolute scan start time.  Returns corrected points (N,3).
+    absolute scan start; v_world: (3,) world-frame velocity estimate.
+    Returns corrected points (N,3) in the scan-end sensor frame.
     """
     ts = scan_start + rel_time * scan_period
+    te = scan_start + scan_period
     rpy_t, shift_t, _ = _interp(buf, ts)
-    rpy_0, shift_0, _ = _interp(buf, scan_start[None])
+    rpy_e, shift_e, velo_e = _interp(buf, jnp.reshape(te, (1,)))
+    dt = (ts - te)[:, None]                               # (N,1), <= 0
+    dev = shift_t - shift_e[0] - velo_e[0] * dt
+    rel = dev + v_world[None, :] * dt                     # pos(t) - pos(te)
     R_t = se3.euler_zyx_to_mat(rpy_t[:, 2], rpy_t[:, 1], rpy_t[:, 0])
-    R_0 = se3.euler_zyx_to_mat(rpy_0[:, 2], rpy_0[:, 1], rpy_0[:, 0])
-    # p_start = R_0^T (R_t p + (shift_t - shift_0))
-    p_w = (R_t @ points[..., None])[..., 0] + (shift_t - shift_0[0])
-    return (jnp.swapaxes(R_0[0], -1, -2) @ p_w[..., None])[..., 0]
+    R_e = se3.euler_zyx_to_mat(rpy_e[0, 2], rpy_e[0, 1], rpy_e[0, 0])
+    p_w = (R_t @ points[..., None])[..., 0] + rel
+    return p_w @ R_e          # row-vector form of R_e^T p_w
 
 
 def shift_from_start(buf: ImuBuffer, scan_start, scan_end):

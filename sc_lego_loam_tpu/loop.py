@@ -116,11 +116,16 @@ def verify(config: PipelineConfig, kf: KeyframeStore,
         T0 = place_pose @ Rz @ se3.mat_inv(place_pose)
     else:
         T0 = jnp.eye(4, dtype=jnp.float32)
-    dT, fitness = icp.align(config, src, src_mask, dst, dst_mask, T0=T0)
+    dT, fitness, inliers = icp.align(config, src, src_mask, dst, dst_mask,
+                                     T0=T0)
     x_cand = se3.pose6_to_mat(kf.poses6[cand_idx])
     x_true = dT @ place_pose
     Z = se3.mat_inv(x_true) @ x_cand
-    accept = fitness < config.loop.fitness_threshold
+    # Fitness gate (utility.h:139) + overlap gate (see ops/icp.align and
+    # LoopClosureConfig.min_inlier_ratio — the precision improvement over
+    # the reference's single permissive gate).
+    accept = (fitness < config.loop.fitness_threshold) & \
+             (inliers >= config.loop.min_inlier_ratio)
     return Z, fitness, accept
 
 
@@ -145,7 +150,7 @@ def device_tick(config: PipelineConfig, kf: KeyframeStore,
         idx = jnp.maximum(sc_idx, 0)
         place = se3.pose6_to_mat(kf.poses6[idx])
         Z, fit, ok = verify(config, kf, cur, idx, place, yaw_init=sc_yaw)
-        new = posegraph.add_loop(loops, cur, idx, Z)
+        new = posegraph.add_loop(loops, cur, idx, Z, kf.poses6)
         loops = jax.tree.map(lambda a, b: jnp.where(ok, b, a), loops, new)
         return loops, ok
 
@@ -159,7 +164,7 @@ def device_tick(config: PipelineConfig, kf: KeyframeStore,
         idx = jnp.maximum(rs_idx, 0)
         place = se3.pose6_to_mat(kf.poses6[cur])
         Z, fit, ok = verify(config, kf, cur, idx, place)
-        new = posegraph.add_loop(loops, cur, idx, Z)
+        new = posegraph.add_loop(loops, cur, idx, Z, kf.poses6)
         loops = jax.tree.map(lambda a, b: jnp.where(ok, b, a), loops, new)
         return loops, ok
 

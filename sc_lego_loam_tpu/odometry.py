@@ -81,28 +81,38 @@ def _sqdist(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 # re-breaks exact-distance ties, which the reference's kd-tree breaks
 # arbitrarily too.
 
-_NN_IDX_BITS = 13                # target index bits (T <= 8192)
 _NN_MAXKEY = 2 ** 31 - 1
 _NN_MAX_SQ = 64.0                # quantization range >= nearest_sq_dist
+
+
+def _nn_idx_bits(T: int) -> int:
+    """Index bits for a T-entry target bank (trace-time static).  The
+    distance field gets the remaining 31-bits budget, so larger pads
+    trade quantization resolution (still sub-mm^2 at 2^17 targets) for
+    capacity instead of hitting a hard limit."""
+    bits = max(1, (T - 1).bit_length())
+    assert bits <= 24, f"target pad {T} leaves <7 distance bits"
+    return bits
 
 
 def _packed_keys(q_xyz, tgt: FeatureCloud):
     """(Q,T) packed keys; invalid targets hold MAXKEY."""
     T = tgt.xyz.shape[0]
-    assert T <= (1 << _NN_IDX_BITS), T
+    bits = _nn_idx_bits(T)
     d = _sqdist(q_xyz, tgt.xyz)
-    scale = float((1 << (31 - _NN_IDX_BITS)) - 4) / _NN_MAX_SQ
+    scale = float((1 << (31 - bits)) - 4) / _NN_MAX_SQ
     dq = jnp.clip(d * scale, 0,
-                  float((1 << (31 - _NN_IDX_BITS)) - 2)).astype(jnp.int32)
+                  float((1 << (31 - bits)) - 2)).astype(jnp.int32)
     tidx = jax.lax.broadcasted_iota(jnp.int32, dq.shape, 1)
-    key = (dq << _NN_IDX_BITS) | tidx
-    return jnp.where(tgt.mask[None, :], key, _NN_MAXKEY), scale
+    key = (dq << bits) | tidx
+    return jnp.where(tgt.mask[None, :], key, _NN_MAXKEY), (scale, bits)
 
 
-def _unpack(key, scale):
-    dd = (key >> _NN_IDX_BITS).astype(jnp.float32) / scale
+def _unpack(key, scale_bits):
+    scale, bits = scale_bits
+    dd = (key >> bits).astype(jnp.float32) / scale
     return jnp.where(key == _NN_MAXKEY, _BIG, dd), \
-        key & ((1 << _NN_IDX_BITS) - 1)
+        key & ((1 << bits) - 1)
 
 
 def _find_corner(q_xyz, q_mask, tgt: FeatureCloud, ocfg):
@@ -184,8 +194,8 @@ def _surf_residual(xi, q, s, a, b, c, interpolate=True):
     return residuals.point_to_plane(p, a, b, c)
 
 
-def _stage_loop(xi0, xi_anchor, param_idx, research_fn, resid_fn, jac_fn,
-                corres0, ocfg):
+def _stage_loop(xi0, xi_anchor, tube, param_idx, research_fn, resid_fn,
+                jac_fn, corres0, ocfg):
     """Generic 3-DOF LM stage. ``research_fn(xi) -> corres`` (pytree of
     arrays incl. 'valid'); ``resid_fn(xi, corres) -> (r, valid)`` (exact
     residuals); ``jac_fn(xi, corres) -> (N,6)`` (factorized s-weighted
@@ -228,7 +238,7 @@ def _stage_loop(xi0, xi_anchor, param_idx, research_fn, resid_fn, jac_fn,
         delta3 = jnp.where(jnp.isfinite(delta3), delta3, 0.0)
         delta6 = jnp.zeros((6,), xi.dtype).at[idx].set(delta3)
         delta6 = _clamp_step(delta6, ocfg)
-        xi_new = _clamp_to_prior(xi + delta6, xi_anchor, ocfg)
+        xi_new = _clamp_to_prior(xi + delta6, xi_anchor, tube)
 
         cost_old = (w * r * r).sum()
         r_new, _ = resid_fn(xi_new, corres)
@@ -262,21 +272,25 @@ def _clamp_step(delta, ocfg):
     return delta * s
 
 
-def _clamp_to_prior(xi_new, xi_prior, ocfg):
+def _clamp_to_prior(xi_new, xi_prior, bounds):
     """Per-scan trust tube: bound the TOTAL deviation of the candidate
     solution from the motion prior (see OdometryConfig.max_rot_from_prior
     — the anti-basin-jump guard the reference's creeping steps provide
-    implicitly)."""
+    implicitly).  ``bounds`` = (rot_bound, trans_bound); when an IMU prior
+    is active the caller inflates them by the prior's own deviation from
+    the previous motion so a genuine measured rate change is never clamped
+    back toward constant velocity."""
+    rot_bound, trans_bound = bounds
     d = xi_new - xi_prior
     wn = jnp.linalg.norm(d[:3])
     vn = jnp.linalg.norm(d[3:])
     s = jnp.minimum(1.0, jnp.minimum(
-        ocfg.max_rot_from_prior / jnp.maximum(wn, 1e-12),
-        ocfg.max_trans_from_prior / jnp.maximum(vn, 1e-12)))
+        rot_bound / jnp.maximum(wn, 1e-12),
+        trans_bound / jnp.maximum(vn, 1e-12)))
     return xi_prior + d * s
 
 
-def _joint_loop(xi0, xi_anchor, corner_research, corner_resid,
+def _joint_loop(xi0, xi_anchor, tube, corner_research, corner_resid,
                 surf_research, surf_resid, corner_jac, surf_jac, ocfg):
     """Joint 6-DOF LM over corner (point-to-line) + surf (point-to-plane)
     residuals together.  Unlike the reference's two-stage 3-DOF split
@@ -319,7 +333,7 @@ def _joint_loop(xi0, xi_anchor, corner_research, corner_resid,
         delta = jnp.where(degen, Pm @ delta, delta)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         delta = _clamp_step(delta, ocfg)
-        xi_new = _clamp_to_prior(xi + delta, xi_anchor, ocfg)
+        xi_new = _clamp_to_prior(xi + delta, xi_anchor, tube)
 
         cost_old = (w * r * r).sum()
         rc2, _ = corner_resid(xi_new, cc)
@@ -347,6 +361,19 @@ def _joint_loop(xi0, xi_anchor, corner_research, corner_resid,
     return xi, cval.sum() + sval.sum()
 
 
+def to_end_points(config: PipelineConfig, xi: jnp.ndarray, pts: jnp.ndarray,
+                  s: jnp.ndarray) -> jnp.ndarray:
+    """Map raw points captured at fraction ``s`` into the scan-END frame
+    using the solved twist: exp(xi)^-1 exp(s xi) p (the TransformToEnd of
+    fA.cpp:885-953, exposed for non-feature clouds like the outlier set).
+    No-op (identity by algebra) when s == 1 or de-skew is off."""
+    if not config.odom.deskew:
+        return pts
+    p_start = _deskew(xi, pts, s, True)
+    T_inv = se3.mat_inv(se3.se3_exp(xi))
+    return (T_inv[:3, :3] @ p_start[..., None])[..., 0] + T_inv[:3, 3]
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
          xi_prior: jnp.ndarray | None = None):
@@ -370,8 +397,18 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
         # The trust tube is a DYNAMICS bound (bounded rate change per
         # scan), so it anchors at the previous scan's ESTIMATED motion —
         # never at the initial guess, whose own bias (e.g. a coarse IMU
-        # prior) it would otherwise lock in.
+        # prior) it would otherwise lock in.  When an IMU prior IS
+        # supplied, the tube radius inflates by the prior's deviation
+        # from the previous motion: a measured rate change larger than
+        # the dynamics bound must stay reachable (the IMU escape hatch
+        # the OdometryConfig comment promises).
         xi_anchor = state.motion
+        tube = (jnp.float32(ocfg.max_rot_from_prior),
+                jnp.float32(ocfg.max_trans_from_prior))
+        if xi_prior is not None:
+            dprior = xi_prior - state.motion
+            tube = (tube[0] + jnp.linalg.norm(dprior[:3]),
+                    tube[1] + jnp.linalg.norm(dprior[3:]))
         if ocfg.joint_6dof and ocfg.dense_queries:
             def subsample(fc: FeatureCloud, cap: int) -> FeatureCloud:
                 # Strided static-shape subsample of the padded bank (entries
@@ -445,22 +482,22 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
                     lambda x: surf_resid(x, corres)[0])(xi)
 
         if ocfg.joint_6dof:
-            xi2, n_corres = _joint_loop(xi0, xi_anchor, corner_research,
-                                        corner_resid, surf_research,
-                                        surf_resid, corner_jac, surf_jac,
-                                        ocfg)
+            xi2, n_corres = _joint_loop(xi0, xi_anchor, tube,
+                                        corner_research, corner_resid,
+                                        surf_research, surf_resid,
+                                        corner_jac, surf_jac, ocfg)
             enough = n_corres >= ocfg.min_total_corres
         else:
             # Reference two-stage split: surf -> [roll, pitch, tz], then
             # corner -> [yaw, tx, ty] (fA.cpp:1270-1478).
             enough = (sharp.mask.sum() >= ocfg.min_feature_points) & \
                      (flat.mask.sum() >= ocfg.min_surf_points)
-            xi1 = _stage_loop(xi0, xi_anchor, (0, 1, 5), surf_research,
-                              surf_resid, surf_jac, surf_research(xi0),
-                              ocfg)
+            xi1 = _stage_loop(xi0, xi_anchor, tube, (0, 1, 5),
+                              surf_research, surf_resid, surf_jac,
+                              surf_research(xi0), ocfg)
             # Stage 2: corner features -> [yaw, tx, ty] = twist idx [2,3,4].
-            xi2 = _stage_loop(xi1, xi_anchor, (2, 3, 4), corner_research,
-                              corner_resid, corner_jac,
+            xi2 = _stage_loop(xi1, xi_anchor, tube, (2, 3, 4),
+                              corner_research, corner_resid, corner_jac,
                               corner_research(xi1), ocfg)
 
         xi = jnp.where(enough, xi2, xi0)

@@ -42,6 +42,9 @@ class OutlierCloud(NamedTuple):
     xyz: jnp.ndarray        # (H, W, 3) row-compacted
     valid: jnp.ndarray      # (H, W)
     count: jnp.ndarray      # (H,)
+    rel_time: jnp.ndarray   # (H, W) intra-scan relative time (outliers are
+                            # skewed like every other return; the mapping
+                            # path de-skews them with the solved twist)
 
 
 def compact(img: RangeImage, seg_res: Segmentation, ground: jnp.ndarray,
@@ -65,7 +68,7 @@ def compact(img: RangeImage, seg_res: Segmentation, ground: jnp.ndarray,
     segmented = _row_compact(img, keep, ground, cols)
     outlier = _row_compact(img, out_keep, ground, cols)
     out = OutlierCloud(xyz=outlier.xyz, valid=outlier.valid,
-                       count=outlier.count)
+                       count=outlier.count, rel_time=outlier.rel_time)
     return segmented, out
 
 

@@ -317,7 +317,7 @@ def extract(cloud: SegmentedCloud, feat: FeatureConfig,
     from .voxel import voxel_decimate
     ds_pts, ds_mask, ds_idx = voxel_decimate(
         pts, lf_mask.reshape(-1), feat.less_flat_leaf, cap.less_flat_pad,
-        table_bits=16, return_indices=True)
+        table_bits=18, return_indices=True)
     less_flat = FeatureCloud(
         xyz=ds_pts, mask=ds_mask,
         ring=jnp.where(ds_mask, rings.reshape(-1)[ds_idx], 0),

@@ -43,8 +43,16 @@ def _make_nn1(dst, dst_mask):
 def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
           dst: jnp.ndarray, dst_mask: jnp.ndarray,
           T0: jnp.ndarray | None = None):
-    """Align src onto dst. Returns (T (4,4), fitness ()) with
-    dst ~ T @ src for matched points."""
+    """Align src onto dst. Returns (T (4,4), fitness (), inlier_ratio ())
+    with dst ~ T @ src for matched points.
+
+    ``inlier_ratio`` = fraction of valid source points whose aligned NN
+    distance is below ``loop.inlier_sq_dist`` — the overlap statistic the
+    acceptance gate uses beside mean-square fitness.  The reference's lone
+    ``fitness < 1.5`` gate (mO.cpp:1020,1071) passes alignments where a
+    minority of points match well and the rest sit meters off (its
+    measured loop precision is ~0.69); a mean can be dragged under the
+    threshold by easy ground points while walls misalign."""
     lcfg = config.loop
     if T0 is None:
         T0 = jnp.eye(4, dtype=jnp.float32)
@@ -76,5 +84,7 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
     p = se3.transform_points(T, src[None])[0]
     _, sqd = nn(p, qcnt)
     w = src_mask.astype(jnp.float32)
-    fitness = (sqd * w).sum() / jnp.maximum(w.sum(), 1.0)
-    return T, fitness
+    denom = jnp.maximum(w.sum(), 1.0)
+    fitness = (sqd * w).sum() / denom
+    inlier_ratio = ((sqd < lcfg.inlier_sq_dist) * w).sum() / denom
+    return T, fitness, inlier_ratio

@@ -51,15 +51,36 @@ def init_loops(config: PipelineConfig, max_loops: int | None = None
 
 
 @jax.jit
-def add_loop(loops: LoopFactors, i, j, z) -> LoopFactors:
-    """Append a loop factor; past capacity the slot index wraps, RING-
-    OVERWRITING the oldest factor (newest constraints carry the freshest
-    geometry; the graph was already solved with the dropped one, so its
-    information persists in the pose estimates).  ``count`` keeps growing —
-    the number of ACTIVE factors is min(count, L) and overflow is
-    host-detectable as count > L (pipeline._check_caps)."""
+def add_loop(loops: LoopFactors, i, j, z,
+             poses6: jnp.ndarray | None = None) -> LoopFactors:
+    """Append a loop factor.  Past capacity a slot must be evicted; note
+    that ``solve`` is a full batch re-solve where the poses are only the
+    INITIALIZATION, so an evicted factor's constraint does NOT persist —
+    at the next re-solve the stiff odometry chain (var 1e-6) pulls any
+    region constrained only by the dropped factor back toward open-loop.
+    Eviction policy therefore targets the LOWEST-INFORMATION factor: with
+    ``poses6`` (the current keyframe estimates) the overwritten slot is
+    the factor with the largest residual under the current solution — the
+    most Cauchy-downweighted one, i.e. either a spurious factor or one the
+    graph already cannot satisfy; revisit regions covered by many mutually
+    consistent factors keep their constraints.  Without ``poses6`` the
+    slot index ring-wraps (oldest-out) as a fallback.  ``count`` keeps
+    growing — active factors = min(count, L); overflow is host-detectable
+    as count > L (pipeline._check_caps)."""
     L = loops.i.shape[0]
-    k = loops.count % L
+    k_ring = loops.count % L
+    if poses6 is None:
+        k = k_ring
+    else:
+        K = poses6.shape[0]
+        li = jnp.clip(loops.i, 0, K - 1)
+        lj = jnp.clip(loops.j, 0, K - 1)
+        Xi = se3.pose6_to_mat(poses6[li])
+        Xj = se3.pose6_to_mat(poses6[lj])
+        r = jax.vmap(lambda a, b, c: se3.se3_log(
+            se3.mat_inv(c) @ se3.mat_inv(a) @ b))(Xi, Xj, loops.z)
+        worst = jnp.argmax(jnp.linalg.norm(r, axis=-1))
+        k = jnp.where(loops.count >= L, worst.astype(jnp.int32), k_ring)
     return LoopFactors(
         i=loops.i.at[k].set(i), j=loops.j.at[k].set(j),
         z=loops.z.at[k].set(z),
@@ -96,12 +117,14 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     (which would amplify f32 error by the inverse stiffness).
 
     ``mesh`` (static, optional): a Mesh with a 'kf' axis.  The loop-factor
-    bank and the (L,6,K,6) edge-space loop Jacobian are sharding-annotated
-    over 'kf'; XLA GSPMD then shards the O(L K) Ghat build and the
-    (6L x 6K x 6L) capacitance contraction across devices and inserts the
-    ICI collectives (the BASELINE.json "distributed pose-graph solve" —
-    sharding annotations + compiler-inserted reduce, not hand-written
-    NCCL).
+    bank inputs (i, j, z) are sharding-annotated over 'kf'; under GSPMD the
+    L-proportional per-factor work (residuals/Jacobians/Q builds and the
+    L x L capacitance assembly) distributes across devices, while the
+    K-proportional cumsum/associative-scan contractions follow the sharding
+    of the (replicated or kf-sharded) pose bank, with XLA inserting the ICI
+    collectives (the BASELINE.json "distributed pose-graph solve" —
+    sharding annotations + compiler-inserted collectives, not hand-written
+    NCCL).  The dense (6L)^2 capacitance solve itself stays replicated.
 
     Scalability & conditioning: each GN step is solved in RELATIVE (edge)
     coordinates.  With w_0 = Jp u_0 and w_k = Ji_k u_{k-1} + Jj_k u_k (the

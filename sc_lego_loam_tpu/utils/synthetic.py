@@ -275,6 +275,63 @@ def straight_trajectory(n_poses: int, step: float = 0.4, height: float = 2.0,
     return poses
 
 
+def make_imu_samples(poses: np.ndarray, t0: float = 0.0,
+                     period: float = 0.1, rate_hz: float = 100.0,
+                     seed: int = 0, noise_rpy: float = 0.003,
+                     noise_acc: float = 0.05, noise_gyro: float = 0.003):
+    """Synthesize a 9-axis IMU stream from a pose trajectory.
+
+    ``poses`` (n,4,4) world-from-sensor at times t0 + k*period.  Returns
+    (times (M,), rpy (M,3), acc (M,3), gyro (M,3)) matching the
+    SlamEngine.push_imu contract (imuHandler, fA.cpp:431-489): world
+    roll/pitch/yaw (an AHRS attitude), body linear acceleration WITH
+    gravity, body angular rate.  Noise defaults model a consumer-grade
+    MEMS unit (~0.17 deg attitude, 0.05 m/s^2 accel, 0.17 deg/s gyro).
+
+    The reference's entire IMU usage (de-skew + initial guess + roll/pitch
+    blend) consumes exactly these channels; MulRan itself ships no IMU in
+    the scans, so this is the test/bench-side sensor model.
+    """
+    n = len(poses)
+    T = period
+    g = 9.81
+    pos = poses[:, :3, 3]
+    # Knot velocity/acceleration by central differences (the trajectory
+    # generators are smooth; one-sided at the ends).
+    vel = np.gradient(pos, T, axis=0)
+    acc_w = np.gradient(vel, T, axis=0)
+    # Knot body rates: omega_i ~ log(R_i^T R_{i+1}) / T (one-sided at end).
+    omega = np.zeros((n, 3))
+    for i in range(n - 1):
+        omega[i] = _so3_log(poses[i][:3, :3].T @ poses[i + 1][:3, :3]) / T
+    omega[-1] = omega[-2] if n > 1 else 0.0
+
+    rng = np.random.default_rng(seed)
+    m = int(np.floor((n - 1) * T * rate_hz)) + 1
+    times = t0 + np.arange(m) / rate_hz
+    rpy = np.zeros((m, 3), np.float32)
+    acc = np.zeros((m, 3), np.float32)
+    gyro = np.zeros((m, 3), np.float32)
+    for k, t in enumerate(times - t0):
+        i = min(int(t / T), n - 2) if n > 1 else 0
+        f = np.clip(t / T - i, 0.0, 1.0)
+        R0, R1 = poses[i][:3, :3], poses[min(i + 1, n - 1)][:3, :3]
+        R = R0 @ _so3_exp(f * _so3_log(R0.T @ R1))
+        a_w = (1 - f) * acc_w[i] + f * acc_w[min(i + 1, n - 1)]
+        w_b = (1 - f) * omega[i] + f * omega[min(i + 1, n - 1)]
+        # roll/pitch/yaw of R (zyx convention: R = Rz(yaw)Ry(pitch)Rx(roll)).
+        yaw = np.arctan2(R[1, 0], R[0, 0])
+        pitch = np.arcsin(np.clip(-R[2, 0], -1.0, 1.0))
+        roll = np.arctan2(R[2, 1], R[2, 2])
+        rpy[k] = [roll, pitch, yaw]
+        acc[k] = R.T @ (a_w + np.array([0.0, 0.0, g]))
+        gyro[k] = w_b
+    rpy += rng.normal(0, noise_rpy, rpy.shape).astype(np.float32)
+    acc += rng.normal(0, noise_acc, acc.shape).astype(np.float32)
+    gyro += rng.normal(0, noise_gyro, gyro.shape).astype(np.float32)
+    return times.astype(np.float64), rpy, acc, gyro
+
+
 def make_sequence(lidar: LidarConfig, n_scans: int, *, seed: int = 0,
                   trajectory: str = "straight", noise: float = 0.01,
                   shuffle: bool = True, skew: bool = False, **traj_kw):

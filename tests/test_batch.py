@@ -141,6 +141,95 @@ def test_merge_solve_joins_sequences():
     assert (dx > 0.5).all()
 
 
+def test_batch_engine_intra_sequence_loops_and_merge():
+    """Config 4 with the per-sequence LOOP LANE (VERDICT r4 missing #4):
+    two revisiting sequences driven by one BatchEngine must each close
+    their own intra-sequence loop during the run (the reference ran the
+    full 1 Hz loopClosureThread per sequence, mO.cpp:829-839), and the
+    cross-sequence merge must still place sequence B correctly."""
+    import dataclasses
+    from sc_lego_loam_tpu import posegraph
+    from sc_lego_loam_tpu.parallel.batch import (find_cross_loops,
+                                                 merge_solve,
+                                                 verify_cross_loops)
+
+    base = tiny_test_config()
+    cfg = base.replace(
+        sc=dataclasses.replace(base.sc, exclude_recent=10),
+        loop=dataclasses.replace(
+            base.loop, check_every_ticks=2, rs_time_gap=4.0,
+            rs_search_radius=4.0),
+    )
+    n = 80
+    world = synthetic.default_world(seed=3)
+    # One figure-8 course, two laps of poses: A drives the first lap, B
+    # the same lap a quarter-phase later — same scenes, different frames.
+    poses = synthetic.figure8_trajectory(2 * n, radius=12.0, loops=2.1)
+    ia0, ib0 = 0, n // 4
+    pa = poses[ia0:ia0 + n]
+    pb = poses[ib0:ib0 + n]
+    rng = np.random.default_rng(6)
+    eng = BatchEngine(cfg, n_seq=2)
+    for i in range(n):
+        sa, va = synthetic.raycast(world, pa[i], cfg.lidar, noise=0.01,
+                                   rng=rng)
+        sb, vb = synthetic.raycast(world, pb[i], cfg.lidar, noise=0.01,
+                                   rng=rng)
+        eng.process_scans(np.stack([sa, sb]), np.stack([va, vb]), t=i * 0.1)
+
+    closed = np.asarray(eng.loops_closed)
+    assert (closed >= 1).all(), \
+        f"intra-sequence loop lane never fired: {closed}"
+    traj = eng.trajectory_array()
+    assert np.isfinite(traj).all()
+
+    # ---- cross-sequence merge on top of the intra-loop-corrected runs ----
+    ka, kb = int(np.asarray(eng.map.kf.count)[0]), \
+        int(np.asarray(eng.map.kf.count)[1])
+    bank_a = jax.tree.map(lambda a: a[0], eng.bank)
+    bank_b = jax.tree.map(lambda a: a[1], eng.bank)
+    kf_a = jax.tree.map(lambda a: a[0], eng.map.kf)
+    kf_b = jax.tree.map(lambda a: a[1], eng.map.kf)
+    ia, ib, dist, yaw, ok = find_cross_loops(cfg, bank_a, bank_b)
+    assert int(ok.sum()) >= 1, f"no cross hits: {np.asarray(dist)[:4]}"
+    Z, fit, accept = verify_cross_loops(cfg, kf_a, kf_b, ia, ib, yaw, ok)
+    assert int(accept.sum()) >= 1, f"ICP rejected all: {np.asarray(fit)}"
+
+    K = cfg.cap.max_keyframes
+    loops = posegraph.init_loops(cfg)
+    # Intra-sequence factors (from the loop lane) with global ids.
+    for s in range(2):
+        l = jax.tree.map(lambda a: a[s], eng.loops)
+        for k in range(min(int(l.count), l.i.shape[0])):
+            loops = posegraph.add_loop(
+                loops, jnp.int32(s * K + int(l.i[k])),
+                jnp.int32(s * K + int(l.j[k])), jnp.asarray(l.z[k]))
+    for p in range(len(np.asarray(accept))):
+        if bool(accept[p]):
+            loops = posegraph.add_loop(
+                loops, jnp.int32(int(ia[p])), jnp.int32(K + int(ib[p])),
+                jnp.asarray(Z[p]))
+
+    poses6 = jnp.asarray(np.asarray(eng.map.kf.poses6))
+    odom = jnp.asarray(np.asarray(eng.map.kf.odom_z))
+    counts = jnp.asarray([ka, kb], jnp.int32)
+    merged = np.asarray(merge_solve(cfg, poses6, counts, odom, loops))
+
+    # Ground truth for B's keyframes in the merged frame (anchored at A's
+    # start): T_a0^-1 @ T_world_b(kf time).
+    kf_times_b = np.asarray(kf_b.times)[:kb]
+    idx = np.clip(np.round(kf_times_b / 0.1).astype(int), 0, n - 1)
+    gt_b = np.linalg.inv(pa[0])[None] @ pb[idx]
+    err_merged = np.linalg.norm(merged[1, :kb, 3:6] - gt_b[:, :3, 3],
+                                axis=-1)
+    err_unmerged = np.linalg.norm(
+        np.asarray(poses6)[1, :kb, 3:6] - gt_b[:, :3, 3], axis=-1)
+    assert err_merged.max() < 1.0, (
+        f"merge left B {err_merged.max():.2f} m off")
+    assert err_merged.max() < err_unmerged.max(), \
+        (err_merged.max(), err_unmerged.max())
+
+
 def test_cross_sequence_merge_end_to_end():
     """Config 4 end-to-end (VERDICT r3 missing #5): two ENGINES map
     overlapping parts of the same world in their own odometry frames;

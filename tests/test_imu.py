@@ -32,9 +32,9 @@ def test_push_integrates_acceleration():
     np.testing.assert_allclose(float(buf.shift[i][0]), 0.5 * t * t, atol=1e-3)
 
 
-def test_deskew_removes_rotation():
-    """Sensor yaws during the scan: points captured late must be rotated
-    back into the scan-start frame."""
+def test_deskew_to_end_removes_rotation():
+    """Sensor yaws during the scan: a point captured mid-scan must be
+    rotated into the scan-END frame (stationary sensor, v_world=0)."""
     buf = imu.init_buffer(64)
     yaw_rate = 0.5   # rad/s
     for k in range(30):
@@ -43,18 +43,43 @@ def test_deskew_removes_rotation():
         buf = imu.push(buf, jnp.float32(t), rpy,
                        jnp.array([0.0, 0.0, 9.81]), jnp.zeros(3))
     # One point seen at rel_time=0.5 of a 0.1s scan starting at t=0.1:
-    # true world point p_w; sensor frame at capture = yaw(0.15*0.5).
+    # true world point p_w; sensor frame at capture = yaw(0.15).
     p_world = np.array([10.0, 0.0, 0.0], np.float32)
     t_cap = 0.1 + 0.5 * 0.1
     yaw_cap = yaw_rate * t_cap
     c, s = np.cos(yaw_cap), np.sin(yaw_cap)
     Rcap = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     p_sensor = Rcap.T @ p_world
-    out = imu.deskew(buf, jnp.asarray(p_sensor[None]),
-                     jnp.asarray([0.5], jnp.float32), jnp.float32(0.1))
-    # Expected: point in the scan-START frame (yaw at t=0.1).
-    yaw0 = yaw_rate * 0.1
-    c0, s0 = np.cos(yaw0), np.sin(yaw0)
-    R0 = np.array([[c0, -s0, 0], [s0, c0, 0], [0, 0, 1]], np.float32)
-    expect = R0.T @ p_world
+    out = imu.deskew_to_end(buf, jnp.asarray(p_sensor[None]),
+                            jnp.asarray([0.5], jnp.float32),
+                            jnp.float32(0.1), 0.1, jnp.zeros(3))
+    # Expected: point in the scan-END frame (yaw at t=0.2).
+    yaw1 = yaw_rate * 0.2
+    c1, s1 = np.cos(yaw1), np.sin(yaw1)
+    R1 = np.array([[c1, -s1, 0], [s1, c1, 0], [0, 0, 1]], np.float32)
+    expect = R1.T @ p_world
     np.testing.assert_allclose(np.asarray(out)[0], expect, atol=0.02)
+
+
+def test_deskew_to_end_translation_via_velocity_estimate():
+    """Constant-velocity translation: the IMU deviation term is zero, so
+    the caller's v_world estimate must carry the whole correction."""
+    buf = imu.init_buffer(64)
+    v = np.array([5.0, 0.0, 0.0], np.float32)   # m/s along +x
+    for k in range(30):
+        t = k * 0.01
+        # Attitude flat, accel = gravity only (constant velocity).
+        buf = imu.push(buf, jnp.float32(t), jnp.zeros(3),
+                       jnp.array([0.0, 0.0, 9.81]), jnp.zeros(3))
+    # Point captured at rel_time=0.25 of the scan [0.1, 0.2): the sensor
+    # sits 0.75*0.1*v BEHIND its end pose, so the point appears that far
+    # ahead relative to the end frame.
+    p_world = np.array([10.0, 3.0, 1.0], np.float32)
+    t_cap = 0.1 + 0.25 * 0.1
+    sensor_pos = v * t_cap
+    p_sensor = p_world - sensor_pos
+    out = imu.deskew_to_end(buf, jnp.asarray(p_sensor[None]),
+                            jnp.asarray([0.25], jnp.float32),
+                            jnp.float32(0.1), 0.1, jnp.asarray(v))
+    expect = p_world - v * 0.2                   # end frame at t=0.2
+    np.testing.assert_allclose(np.asarray(out)[0], expect, atol=1e-3)

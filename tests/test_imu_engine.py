@@ -115,34 +115,44 @@ def test_imu_prior_improves_on_heading_flips():
     assert ate_imu < max(ate_raw * 0.8, 0.05), (ate_imu, ate_raw)
 
 
+def _feed_imu(eng, times, rpy, acc, gyro, upto, cursor):
+    """Push all IMU samples with time <= upto; returns the new cursor."""
+    while cursor < len(times) and times[cursor] <= upto + 1e-9:
+        eng.push_imu(float(times[cursor]), rpy[cursor], acc[cursor],
+                     gyro[cursor])
+        cursor += 1
+    return cursor
+
+
 def test_imu_deskew_engine_on_distorted_scans():
     """Engine-level imu.deskew=True on motion-distorted scans with real
-    rotation (fA.cpp:491-619 adjustDistortion analog).
+    rotation (fA.cpp:491-619 adjustDistortion analog), fed a properly
+    interpolated synthetic IMU stream (synthetic.make_imu_samples).
 
     Bound: non-inferiority, by construction of the fixture —
     raycast_skewed interpolates pose0->pose1 at CONSTANT rate, so the
     odometry's constant-twist exp(s*xi) de-skew is already the exact
-    motion model and exact-attitude IMU de-skew cannot beat it (measured
-    0.52 vs 0.52 once the prior trust tube fixed the baseline; before
-    the tube the IMU path masked baseline mistracking, 0.48 vs 0.83).
-    The strict-improvement claim for IMU lives where IMU adds real
-    information: test_imu_prior_improves_on_heading_flips."""
+    motion model and IMU de-skew cannot beat it.  The strict-improvement
+    case is test_imu_deskew_improves_on_skewed_heading_flips, where the
+    intra-scan rotation is NOT predictable from the previous motion."""
     cfg = tiny_test_config()
     n = 24
     scans, valids, gt = synthetic.make_sequence(
         cfg.lidar, n, trajectory="figure8", radius=12.0, loops=0.3,
         noise=0.01, seed=13, shuffle=False, skew=True)
+    # gt[k] is the END pose of scan k, i.e. the pose at t=(k+1)*0.1.
+    times, rpy, acc, gyro = synthetic.make_imu_samples(
+        gt, t0=0.1, period=0.1, rate_hz=100, seed=3)
 
     def run(deskew):
         c = cfg.replace(
             imu=ImuConfig(enabled=True, deskew=deskew),
             odom=dataclasses.replace(cfg.odom, deskew=True))
         eng = SlamEngine(c)
+        cur = 0
         for i in range(n):
             t = i * 0.1
-            for dt in (0.0, 0.05):
-                eng.push_imu(t + dt, _rpy_of(gt[min(i, n - 1)]),
-                             np.zeros(3), np.zeros(3))
+            cur = _feed_imu(eng, times, rpy, acc, gyro, t + 0.1, cur)
             eng.process_scan(scans[i], valids[i], t=t)
         est = eng.trajectory_array()
         return evaluate.ate_rmse(est, gt[:len(est)]), est
@@ -151,6 +161,47 @@ def test_imu_deskew_engine_on_distorted_scans():
     ate_nods, _ = run(False)
     assert np.isfinite(est).all()
     assert ate_ds <= ate_nods * 1.15 + 0.05, (ate_ds, ate_nods)
+
+
+def test_imu_deskew_improves_on_skewed_heading_flips():
+    """Strict improvement where IMU de-skew adds real information
+    (VERDICT r4 weak #4): skewed scans on a heading-flipping path.  Each
+    scan's intra-scan rotation flips sign against the previous scan's, so
+    the lidar-only constant-twist solver starts from a wrong de-skew
+    basin every flip; IMU attitude removes the rotation before solving."""
+    cfg = tiny_test_config()
+    n = 20
+    world = synthetic.default_world(seed=4)
+    poses = _zigzag_poses(n + 1, step=0.5, flip_every=4, yaw_rate=0.3)
+    rng = np.random.default_rng(7)
+    scans, valids = [], []
+    for i in range(n):
+        pts, ok = synthetic.raycast_skewed(world, poses[i], poses[i + 1],
+                                           cfg.lidar, noise=0.01, rng=rng)
+        scans.append(pts)
+        valids.append(ok)
+    gt = poses[1:].astype(np.float32)           # scan-END poses
+    times, rpy, acc, gyro = synthetic.make_imu_samples(
+        gt, t0=0.1, period=0.1, rate_hz=100, seed=8)
+
+    def run(with_imu):
+        c = cfg.replace(
+            imu=ImuConfig(enabled=with_imu, deskew=with_imu),
+            odom=dataclasses.replace(cfg.odom, deskew=True))
+        eng = SlamEngine(c)
+        cur = 0
+        for i in range(n):
+            t = i * 0.1
+            if with_imu:
+                cur = _feed_imu(eng, times, rpy, acc, gyro, t + 0.1, cur)
+            eng.process_scan(scans[i], valids[i], t=t)
+        est = eng.trajectory_array()
+        return evaluate.ate_rmse(est, gt[:len(est)])
+
+    ate_imu = run(True)
+    ate_raw = run(False)
+    assert np.isfinite(ate_imu)
+    assert ate_imu < max(ate_raw * 0.8, 0.05), (ate_imu, ate_raw)
 
 
 def test_motion_prior_matches_analytic_rotation():

@@ -177,10 +177,12 @@ def test_icp_recovers_transform():
     srcm = np.zeros(cap.icp_query_pad, bool)
     srcm[:800] = True
 
-    T_est, fit = icp.align(cfg, jnp.asarray(src), jnp.asarray(srcm),
-                           jnp.asarray(dst), jnp.asarray(dstm))
+    T_est, fit, inliers = icp.align(cfg, jnp.asarray(src), jnp.asarray(srcm),
+                                    jnp.asarray(dst), jnp.asarray(dstm))
     np.testing.assert_allclose(np.asarray(T_est), T_true, atol=0.05)
     assert float(fit) < 0.05
+    # A genuine alignment of co-visible geometry must pass the overlap gate.
+    assert float(inliers) >= 0.85
 
 
 def test_keyframe_bank_overflow_drops_not_clobbers():

@@ -72,6 +72,63 @@ def test_run_mulran_end_to_end(mulran_fixture):
     assert res["ate_rmse_m"] < 0.8, res["ate_rmse_m"]
 
 
+def test_golden_bytes_hand_written(tmp_path):
+    """Bit-exact parser fixture (VERDICT r4 #8): the .bin / global_pose.csv
+    bytes are HAND-BUILT with struct.pack and literal text — not produced
+    by the same numpy writer under test — pinning endianness and field
+    order (MulRan Ouster layout: little-endian float32 x,y,z,intensity;
+    global_pose.csv: timestamp_ns, then the 3x4 [R|t] row-major)."""
+    import struct
+
+    from sc_lego_loam_tpu.config import tiny_test_config
+
+    root = tmp_path / "seq"
+    d = root / "sensor_data" / "Ouster"
+    os.makedirs(d)
+    ts_ns = 1566535200123456789
+    # Three points with distinct, exactly-representable coordinates.
+    pts = [(1.5, -2.25, 0.5, 7.0),
+           (10.0, 0.0, -1.0, 0.0),
+           (0.0, 0.0, 0.0, 3.0)]   # zero return -> must be masked out
+    blob = b"".join(struct.pack("<ffff", *p) for p in pts)
+    with open(d / f"{ts_ns}.bin", "wb") as f:
+        f.write(blob)
+    # Pose row: yaw=90 deg rotation, translation (100, -50, 3).
+    csv = (f"{ts_ns},0,-1,0,100,1,0,0,-50,0,0,1,3\n")
+    with open(root / "global_pose.csv", "w") as f:
+        f.write(csv)
+        # loadtxt needs >= 2 rows for a 2-D result only when squeezed;
+        # write a second row 0.1 s later, identity rotation.
+        f.write(f"{ts_ns + 100000000},1,0,0,101,0,1,0,-50,0,0,1,3\n")
+
+    cfg = tiny_test_config()
+    files = mulran.scan_files(str(root))
+    assert files == [str(d / f"{ts_ns}.bin")]
+    out, mask = mulran.load_scan(files[0], cfg.lidar)
+    np.testing.assert_array_equal(out[0], np.float32([1.5, -2.25, 0.5]))
+    np.testing.assert_array_equal(out[1], np.float32([10.0, 0.0, -1.0]))
+    assert mask[0] and mask[1]
+    assert not mask[2]            # zero return masked
+    assert not mask[3:].any()     # padding masked
+
+    ts, poses = mulran.load_gt_poses(str(root))
+    np.testing.assert_allclose(ts[0], ts_ns * 1e-9, rtol=0, atol=1e-6)
+    want = np.array([[0, -1, 0, 100],
+                     [1, 0, 0, -50],
+                     [0, 0, 1, 3],
+                     [0, 0, 0, 1]], np.float32)
+    np.testing.assert_array_equal(poses[0], want)
+
+    # The native C++ loader must decode the identical bytes identically.
+    from sc_lego_loam_tpu.utils import native_io
+    if native_io.available():
+        loader = native_io.NativeScanLoader(files, cfg.lidar.max_points)
+        pts_n, mask_n = next(iter(loader))
+        loader.close()
+        np.testing.assert_array_equal(pts_n[:3], out[:3])
+        np.testing.assert_array_equal(mask_n, mask)
+
+
 def test_run_mulran_native_loader(mulran_fixture):
     from sc_lego_loam_tpu.utils import native_io
     if not native_io.available():

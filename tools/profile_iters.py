@@ -51,7 +51,7 @@ def main():
     feats = []
     for i in range(N):
         fo = frontend.run(base, xs[0][i], xs[1][i])
-        fs, _, _ = pipeline._extract(base, fo.cloud, fo.outlier)
+        fs, _, _, _ = pipeline._extract(base, fo.cloud, fo.outlier)
         feats.append(fs)
     feats = jax.tree.map(lambda *a: jnp.stack(a), *feats)
 

@@ -63,7 +63,7 @@ def main():
     def b_feat(c, x):
         p, m = x
         fo = frontend.run(cfg, chain(p, c), m)
-        fs, _, _ = pipeline._extract(cfg, fo.cloud, fo.outlier)
+        fs, _, _, _ = pipeline._extract(cfg, fo.cloud, fo.outlier)
         return fs.less_flat.xyz.sum(), None
 
     def b_percep(st, x):
@@ -96,7 +96,7 @@ def main():
     feats = []
     for i in range(N):
         fo = frontend.run(cfg, xs[0][i], xs[1][i])
-        fs, _, _ = pipeline._extract(cfg, fo.cloud, fo.outlier)
+        fs, _, _, _ = pipeline._extract(cfg, fo.cloud, fo.outlier)
         feats.append(fs)
     feats = jax.tree.map(lambda *a: jnp.stack(a), *feats)
 
