@@ -128,9 +128,14 @@ class FeatureConfig:
 class OdometryConfig:
     """Two-stage 3-DOF scan-to-scan LM (fA.cpp:1270-1478,1666-1695)."""
 
-    # Motion-interpolated de-skew p_start = exp(s*xi) p (fA.cpp:860-883).
+    # Per-scan pre-de-skew into the scan-END frame with the carried
+    # previous twist (pipeline._pre_deskew -> odometry.deskew_with_twist;
+    # IMU attitude replaces the prediction when ImuConfig is enabled).
     # True for real spinning-lidar data (points are time-distorted); False
-    # for instantaneous clouds (synthetic snapshots), where s == 1.
+    # for instantaneous clouds (synthetic snapshots).  The solver itself
+    # is always rigid — see odometry._apply for why the reference's
+    # in-solver s-interpolated de-skew (fA.cpp:860-883) is unstable
+    # without an IMU and was deliberately not kept.
     deskew: bool = True
     # Joint 6-DOF solve over corner+surf residuals together instead of the
     # reference's two-stage 3-DOF split (fA.cpp:1270-1478).  The split is a

@@ -83,16 +83,57 @@ def _extract(config: PipelineConfig, cloud, outlier_grid):
     return fs, out_pts, out_rel, ok
 
 
+def _pre_deskew(config: PipelineConfig, fo, odo_state, imu_buf=None,
+                t=None):
+    """De-skew the frontend's segmented cloud AND outlier grid into the
+    scan-END frame, once per scan, before features/odometry/mapping see
+    them (the adjustDistortion slot, fA.cpp:491-619 — but into one
+    consistent frame; see odometry._apply for why de-skew lives here and
+    not inside the solver).
+
+    Lidar-only: constant-twist prediction from the previous solved motion
+    (odometry.deskew_with_twist).  With IMU enabled and samples buffered:
+    imu.deskew_to_end (attitude + deviation translation).  rel_time is
+    set to 1 — the cloud is instantaneous-at-end from here on."""
+    cfg = config
+    use_ct = cfg.odom.deskew
+    use_imu = cfg.imu.enabled and cfg.imu.deskew
+    if not (use_ct or use_imu):
+        return fo
+    xi0 = odo_state.motion
+    if use_imu:
+        imu_ok = imu_buf.count > 1
+        v_world = (odo_state.pose[:3, :3] @ odo_state.motion[3:]) \
+            / cfg.lidar.scan_period
+
+    def ds(grid_xyz, grid_rel, grid_valid):
+        flat = grid_xyz.reshape(-1, 3)
+        rel = grid_rel.reshape(-1)
+        pts = odometry.deskew_with_twist(xi0, flat, rel) if use_ct else flat
+        if use_imu:
+            pts_imu = imu_mod.deskew_to_end(
+                imu_buf, flat, rel, t, cfg.lidar.scan_period, v_world)
+            pts = jnp.where(imu_ok, pts_imu, pts)
+        xyz = pts.reshape(grid_xyz.shape)
+        return (jnp.where(grid_valid[..., None], xyz, 0.0),
+                jnp.where(grid_valid, jnp.ones_like(grid_rel), 0.0))
+
+    cloud, outl = fo.cloud, fo.outlier
+    c_xyz, c_rel = ds(cloud.xyz, cloud.rel_time, cloud.valid)
+    o_xyz, o_rel = ds(outl.xyz, outl.rel_time, outl.valid)
+    return fo._replace(
+        cloud=cloud._replace(xyz=c_xyz, rel_time=c_rel),
+        outlier=outl._replace(xyz=o_xyz, rel_time=o_rel))
+
+
 def _odo_perception(config: PipelineConfig, points, mask, odo_state):
     """Frontend -> features -> odometry, no trajectory bookkeeping — the
     vmappable core shared with parallel.batch.  Returns
     (new_odo_state, odom_pose, out_pts, out_mask)."""
     fo = frontend.run(config, points, mask)
+    fo = _pre_deskew(config, fo, odo_state)
     fs, out_pts, out_rel, out_mask = _extract(config, fo.cloud, fo.outlier)
-    odo, odom_pose, xi_rel = odometry.step(config, odo_state, fs)
-    out_pts = jnp.where(out_mask[:, None],
-                        odometry.to_end_points(config, xi_rel, out_pts,
-                                               out_rel), 0.0)
+    odo, odom_pose, _ = odometry.step(config, odo_state, fs)
     return odo, odom_pose, out_pts, out_mask
 
 
@@ -163,36 +204,7 @@ def perception_step(config: PipelineConfig, state: PerceptionState,
     Returns (state, odom_pose, out_pts, out_mask, fused_pose)."""
     cfg = config
     fo = frontend.run(cfg, points, mask)
-    if cfg.imu.enabled and cfg.imu.deskew:
-        # IMU point de-skew (adjustDistortion analog, fA.cpp:491-619),
-        # applied before feature extraction as in the reference — but into
-        # the scan-END frame with rel_time then set to 1, so every
-        # downstream consumer (odometry solver, mapping queries, outlier
-        # cloud) sees ONE undistorted frame instead of re-removing the
-        # skew itself (imu.deskew_to_end).  No-op until the buffer holds
-        # samples.  v_world = the engine's previous-scan velocity
-        # estimate supplies the constant-velocity part the IMU cannot
-        # observe (unknown initial velocity).
-        imu_ok = state.imu.count > 1
-        v_world = (state.odo.pose[:3, :3] @ state.odo.motion[3:]) \
-            / cfg.lidar.scan_period
-
-        def ds(grid_xyz, grid_rel, grid_valid):
-            shp = grid_xyz.shape
-            pts_d = imu_mod.deskew_to_end(
-                state.imu, grid_xyz.reshape(-1, 3), grid_rel.reshape(-1),
-                t, cfg.lidar.scan_period, v_world)
-            xyz = jnp.where(imu_ok, pts_d.reshape(shp), grid_xyz)
-            rel = jnp.where(imu_ok, jnp.ones_like(grid_rel), grid_rel)
-            return (jnp.where(grid_valid[..., None], xyz, 0.0),
-                    jnp.where(grid_valid, rel, 0.0))
-
-        cloud, outl = fo.cloud, fo.outlier
-        c_xyz, c_rel = ds(cloud.xyz, cloud.rel_time, cloud.valid)
-        o_xyz, o_rel = ds(outl.xyz, outl.rel_time, outl.valid)
-        fo = fo._replace(
-            cloud=cloud._replace(xyz=c_xyz, rel_time=c_rel),
-            outlier=outl._replace(xyz=o_xyz, rel_time=o_rel))
+    fo = _pre_deskew(cfg, fo, state.odo, state.imu, t)
     fs, out_pts, out_rel, out_mask = _extract(cfg, fo.cloud, fo.outlier)
     if cfg.imu.enabled and cfg.imu.prior:
         # IMU initial guess (updateInitialGuess, fA.cpp:1639-1664): the
@@ -208,13 +220,7 @@ def perception_step(config: PipelineConfig, state: PerceptionState,
             state.odo.motion)
     else:
         xi_prior = None
-    odo, odom_pose, xi_rel = odometry.step(cfg, state.odo, fs, xi_prior)
-    # Outliers ride into the map (mapping surf queries + keyframe store):
-    # put them in the scan-end frame like every other mapping input.  When
-    # the IMU already de-skewed them, out_rel == 1 and this is identity.
-    out_pts = jnp.where(out_mask[:, None],
-                        odometry.to_end_points(cfg, xi_rel, out_pts,
-                                               out_rel), 0.0)
+    odo, odom_pose, _ = odometry.step(cfg, state.odo, fs, xi_prior)
 
     # High-rate fusion (transformFusion.cpp:94-179): one matrix multiply
     # with the latest mapping correction (one mapping tick stale, exactly
