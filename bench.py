@@ -188,7 +188,7 @@ def loop_precision_recall(engine, gt, cfg, tol_m=2.0):
     }
 
 
-def main():
+def _setup_jax():
     import jax
     # f32 accuracy for the small-matrix SE(3)/solver math on TPU (MXU
     # defaults to bf16 inputs); the hot large matmuls opt back down to
@@ -197,13 +197,18 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE", "/tmp/jaxcache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def block_ordered():
+    """Ordered path + seed sweep.  fps comes from the FIRST seed, timed
+    before any device->host fetch: on this runtime the first transfer
+    permanently degrades every later dispatch ~14-40x (PERF.md), so each
+    bench block runs in its own subprocess and fetches results only after
+    its timed window; later seeds here only contribute ATE."""
+    jax = _setup_jax()
     from sc_lego_loam_tpu.config import synthetic_config
-    from sc_lego_loam_tpu.runner import mulran_engine_config
-
-    extra = {"platform": jax.default_backend()}
     cfg = synthetic_config()
-
-    # ---- 2. ordered path (rounds 1-3 comparable) + 4. seed sweep ------ #
     sweep = {"seeds": SWEEP_SEEDS, "ate": [], "ate_steady": [],
              "loops_closed": []}
     ordered = None
@@ -232,104 +237,179 @@ def main():
         sweep[f"{k}_mean"] = round(sum(v) / len(v), 4)
         sweep[f"{k}_min"] = min(v)
         sweep[f"{k}_max"] = max(v)
-    extra["ordered"] = ordered
-    extra["seed_sweep"] = sweep
+    return {"platform": jax.default_backend(), "ordered": ordered,
+            "seed_sweep": sweep}
 
-    # ---- 3. loop precision/recall on the >=3-revisit cloverleaf ------- #
+
+def block_clover():
+    """Loop precision/recall on the >=3-revisit cloverleaf (ordered)."""
+    _setup_jax()
+    from sc_lego_loam_tpu.config import synthetic_config
+    cfg = synthetic_config()
+    scans, valids, gt = get_sequence(
+        cfg.lidar, CLOVER_SCANS, trajectory="cloverleaf", noise=0.01,
+        seed=SEED, shuffle=False, radius=32.0, petals=4)
+    engine, fps = run_engine(cfg, scans, valids, WARMUP)
+    ate, ate_steady = ates(engine, gt, WARMUP)
+    pr = loop_precision_recall(engine, gt, cfg)
+    pr.update({"fps": round(fps, 2), "ate_rmse_m": ate,
+               "trajectory": "cloverleaf", "scans": CLOVER_SCANS})
+    return {"loop_pr": pr}
+
+
+def _real_cfgs():
+    from sc_lego_loam_tpu.config import ImuConfig
+    from sc_lego_loam_tpu.runner import mulran_engine_config
+    rcfg = mulran_engine_config()   # unordered scatter proj + de-skew
+    return rcfg, rcfg.replace(imu=ImuConfig(enabled=True))
+
+
+def _real_sequence(rcfg):
+    # skew=True emits CAPTURE order (column-major) — not beam-row order,
+    # so the scatter projection is exercised, but the array's first/last
+    # points still anchor the intra-scan sweep, which is the input
+    # contract the reference assumes (findStartEndAngle, iP.cpp:199-209)
+    # and every real sensor stream satisfies.
+    return get_sequence(
+        rcfg.lidar, N_SCANS, trajectory="figure8", noise=0.01,
+        seed=SEED, shuffle=False, skew=True, radius=30.0, loops=1.05)
+
+
+def block_real():
+    """HEADLINE: lidar-only real path — real MulRan carries no IMU
+    (utility.h:91): unordered scatter projection + carried-twist
+    pre-de-skew (pipeline._pre_deskew) + the rigid solver."""
+    _setup_jax()
+    rcfg, _ = _real_cfgs()
+    scans, valids, gt = _real_sequence(rcfg)
+    engine, fps = run_engine(rcfg, scans, valids, WARMUP)
+    ate, ate_steady = ates(engine, gt, WARMUP)
+    return {"real": {
+        "fps": round(fps, 2), "ate_rmse_m": ate,
+        "ate_steady_m": ate_steady, "scans": N_SCANS - WARMUP,
+        "keyframes": int(engine.map.kf.count),
+        "loops_closed": int(engine.loops_closed),
+        "imu": False,
+    }}
+
+
+def block_real_imu():
+    """IMU-in-the-loop A/B on the identical distorted data — the
+    reference's operating mode (fA.cpp:491-619 is IMU-driven
+    end-to-end); stream synthesized from ground truth with MEMS-grade
+    noise (utils/synthetic.make_imu_samples).  On smooth trajectories
+    the carried-twist prediction beats the noisy attitude samples (r5
+    measured 0.12 vs 0.35 ATE); the IMU's win is unpredictable motion
+    (tests/test_imu_engine.py heading-flip cases), not cruise."""
+    _setup_jax()
+    rcfg, rcfg_imu = _real_cfgs()
+    scans, valids, gt = _real_sequence(rcfg)
+    engine, fps = run_engine(rcfg_imu, scans, valids, WARMUP,
+                             imu=make_imu(gt, seed=SEED))
+    ate, ate_steady = ates(engine, gt, WARMUP)
+    return {"real_imu": {
+        "fps": round(fps, 2), "ate_rmse_m": ate,
+        "ate_steady_m": ate_steady,
+        "loops_closed": int(engine.loops_closed),
+    }}
+
+
+def block_clover_real():
+    """Loop precision/recall ON THE REAL PATH (skewed cloverleaf,
+    lidar-only like the headline): the configuration where drift is
+    largest and false factors likeliest (VERDICT r4 weak #6)."""
+    _setup_jax()
+    rcfg, _ = _real_cfgs()
+    scans, valids, gt = get_sequence(
+        rcfg.lidar, CLOVER_SCANS, trajectory="cloverleaf", noise=0.01,
+        seed=SEED, shuffle=False, skew=True, radius=32.0, petals=4)
+    engine, fps = run_engine(rcfg, scans, valids, WARMUP)
+    ate, _ = ates(engine, gt, WARMUP)
+    pr = loop_precision_recall(engine, gt, rcfg)
+    pr.update({"fps": round(fps, 2), "ate_rmse_m": ate,
+               "trajectory": "cloverleaf-skewed"})
+    return {"loop_pr_real": pr}
+
+
+def block_latency():
+    """Per-scan LATENCY percentiles on the real path (sync mode,
+    loop-tick spikes included — the "real-time 10 Hz" framing needs p99;
+    VERDICT r4 weak #7).  block_until_ready waits without transferring,
+    so the sync pass itself does not degrade the stream; note the wait
+    still includes this runtime's host<->device tunnel round trip."""
+    _setup_jax()
+    import numpy as np
+    rcfg, _ = _real_cfgs()
+    scans, valids, gt = _real_sequence(rcfg)
+    lat = []
+    n_lat = min(N_SCANS, WARMUP + 160)
+    run_engine(rcfg, scans[:n_lat], valids[:n_lat], WARMUP, latency=lat)
+    if not lat:
+        return {}
+    a = np.asarray(lat)
+    return {"latency_ms": {
+        "p50": round(float(np.percentile(a, 50)), 2),
+        "p95": round(float(np.percentile(a, 95)), 2),
+        "p99": round(float(np.percentile(a, 99)), 2),
+        "max": round(float(a.max()), 2),
+        "scans": len(lat),
+    }}
+
+
+BLOCKS = {
+    "ordered": block_ordered,
+    "clover": block_clover,
+    "real": block_real,
+    "real_imu": block_real_imu,
+    "clover_real": block_clover_real,
+    "latency": block_latency,
+}
+
+_FRAG = "BENCH_FRAGMENT "
+
+
+def main():
+    block = os.environ.get("BENCH_BLOCK", "")
+    if block:
+        frag = BLOCKS[block]()
+        print(_FRAG + json.dumps(frag), flush=True)
+        return
+
+    # Parent: one subprocess per measured block.  Isolation is REQUIRED
+    # for honest numbers on this runtime: the first device->host transfer
+    # of a process permanently degrades all subsequent dispatches
+    # ~14-40x (PERF.md "the transfer cliff"), so every block must finish
+    # its timed window in a process where no fetch has happened yet.
+    import subprocess
+    names = ["ordered"]
     if RUN_CLOVER:
-        scans, valids, gt = get_sequence(
-            cfg.lidar, CLOVER_SCANS, trajectory="cloverleaf", noise=0.01,
-            seed=SEED, shuffle=False, radius=32.0, petals=4)
-        engine, fps = run_engine(cfg, scans, valids, WARMUP)
-        ate, ate_steady = ates(engine, gt, WARMUP)
-        pr = loop_precision_recall(engine, gt, cfg)
-        pr.update({"fps": round(fps, 2), "ate_rmse_m": ate,
-                   "trajectory": "cloverleaf", "scans": CLOVER_SCANS})
-        extra["loop_pr"] = pr
-
-    # ---- 1. the real-data path (headline) ----------------------------- #
+        names.append("clover")
     if RUN_REAL:
-        from sc_lego_loam_tpu.config import ImuConfig
-        rcfg = mulran_engine_config()   # unordered scatter proj + de-skew
-        rcfg_imu = rcfg.replace(imu=ImuConfig(enabled=True))
-        # skew=True emits CAPTURE order (column-major) — not beam-row
-        # order, so the scatter projection is exercised, but the array's
-        # first/last points still anchor the intra-scan sweep, which is
-        # the same input contract the reference assumes
-        # (findStartEndAngle, iP.cpp:199-209) and every real sensor
-        # stream satisfies.  A fully shuffled cloud randomizes the
-        # de-skew time base and injects ~1 m/scan of artificial noise.
-        scans, valids, gt = get_sequence(
-            rcfg.lidar, N_SCANS, trajectory="figure8", noise=0.01,
-            seed=SEED, shuffle=False, skew=True, radius=30.0, loops=1.05)
-        # HEADLINE: lidar-only — real MulRan carries no IMU (utility.h:91),
-        # so this is the exact configuration real data costs: unordered
-        # scatter projection + carried-twist pre-de-skew
-        # (pipeline._pre_deskew) + the rigid solver.
-        engine, fps = run_engine(rcfg, scans, valids, WARMUP)
-        ate, ate_steady = ates(engine, gt, WARMUP)
-        extra["real"] = {
-            "fps": round(fps, 2), "ate_rmse_m": ate,
-            "ate_steady_m": ate_steady, "scans": N_SCANS - WARMUP,
-            "keyframes": int(engine.map.kf.count),
-            "loops_closed": int(engine.loops_closed),
-            "imu": False,
-        }
-        headline = fps
-
-        # IMU-in-the-loop A/B on the identical distorted data — the
-        # reference's operating mode (fA.cpp:491-619 is IMU-driven
-        # end-to-end); stream synthesized from ground truth with
-        # MEMS-grade noise (utils/synthetic.make_imu_samples).  On smooth
-        # trajectories the carried-twist prediction beats the noisy
-        # attitude samples (r5 measured 0.12 vs 0.35 ATE); the IMU's win
-        # is unpredictable motion (tests/test_imu_engine.py heading-flip
-        # cases), not cruise.
-        imu_stream = make_imu(gt, seed=SEED)
-        engine2, fps2 = run_engine(rcfg_imu, scans, valids, WARMUP,
-                                   imu=imu_stream)
-        ate2, ate2_steady = ates(engine2, gt, WARMUP)
-        extra["real_imu"] = {
-            "fps": round(fps2, 2), "ate_rmse_m": ate2,
-            "ate_steady_m": ate2_steady,
-            "loops_closed": int(engine2.loops_closed),
-        }
-
-        # Loop precision/recall ON THE REAL PATH (skewed cloverleaf,
-        # lidar-only like the headline): the configuration where drift is
-        # largest and false factors likeliest (VERDICT r4 weak #6).
+        names += ["real", "real_imu"]
         if RUN_CLOVER:
-            cscans, cvalids, cgt = get_sequence(
-                rcfg.lidar, CLOVER_SCANS, trajectory="cloverleaf",
-                noise=0.01, seed=SEED, shuffle=False, skew=True,
-                radius=32.0, petals=4)
-            eng3, fps3 = run_engine(rcfg, cscans, cvalids, WARMUP)
-            ate3, _ = ates(eng3, cgt, WARMUP)
-            pr3 = loop_precision_recall(eng3, cgt, rcfg)
-            pr3.update({"fps": round(fps3, 2), "ate_rmse_m": ate3,
-                        "trajectory": "cloverleaf-skewed"})
-            extra["loop_pr_real"] = pr3
+            names.append("clover_real")
+        names.append("latency")
+    extra = {}
+    for name in names:
+        env = dict(os.environ, BENCH_BLOCK=name)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        frag = None
+        for line in r.stdout.splitlines():
+            if line.startswith(_FRAG):
+                frag = json.loads(line[len(_FRAG):])
+        if frag is None:
+            sys.stderr.write(r.stdout[-2000:])
+            sys.stderr.write(r.stderr[-4000:])
+            raise RuntimeError(f"bench block '{name}' failed")
+        if name == "ordered":
+            # stage table + platform ride along from the first block
+            tail = [ln for ln in r.stderr.splitlines()
+                    if ln and "WARNING" not in ln]
+            print("\n".join(tail[-8:]), file=sys.stderr)
+        extra.update(frag)
 
-        # Per-scan LATENCY percentiles (sync mode, loop-tick spikes
-        # included — the "real-time 10 Hz" framing needs p99, not just
-        # throughput; VERDICT r4 weak #7).
-        lat = []
-        n_lat = min(N_SCANS, WARMUP + 160)
-        run_engine(rcfg, scans[:n_lat], valids[:n_lat], WARMUP,
-                   latency=lat)
-        if lat:
-            import numpy as np
-            a = np.asarray(lat)
-            extra["latency_ms"] = {
-                "p50": round(float(np.percentile(a, 50)), 2),
-                "p95": round(float(np.percentile(a, 95)), 2),
-                "p99": round(float(np.percentile(a, 99)), 2),
-                "max": round(float(a.max()), 2),
-                "scans": len(lat),
-            }
-    else:
-        headline = ordered["fps"]
-
+    headline = extra["real"]["fps"] if RUN_REAL else extra["ordered"]["fps"]
     print(json.dumps({
         "metric": "frames_per_sec_full_pipeline_real_path" if RUN_REAL
                   else "frames_per_sec_full_pipeline",

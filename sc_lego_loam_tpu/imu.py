@@ -65,25 +65,39 @@ def push_many(buf: ImuBuffer, ts, rpys, accs, gyros, valid) -> ImuBuffer:
     jitted push costs one host->device dispatch each — at 10-20 samples
     per scan that would double the per-scan dispatch count; the batch is
     one lax.scan).  ``valid`` masks the padding: invalid rows leave the
-    buffer untouched."""
+    buffer untouched.
+
+    The gravity compensation (a 3x3 matvec) is hoisted OUT of the scan
+    and batched: a scan whose body contains a dot_general permanently
+    degrades all subsequent dispatches on this runtime (see
+    odometry._stage_loop); the scanned dead-reckoning is elementwise."""
+    acc_ws = _world_acc(rpys, accs)                    # (P,3), outside scan
 
     def body(b, x):
-        t, r, a, g, ok = x
-        nb = _push(b, t, r, a, g)
+        t, r, a, g, aw, ok = x
+        nb = _push_precomp(b, t, r, a, g, aw)
         return jax.tree.map(lambda new, old: jnp.where(ok, new, old),
                             nb, b), None
 
-    out, _ = jax.lax.scan(body, buf, (ts, rpys, accs, gyros, valid))
+    out, _ = jax.lax.scan(body, buf,
+                          (ts, rpys, accs, gyros, acc_ws, valid))
     return out
 
 
 def _push(buf: ImuBuffer, t, rpy, acc_raw, gyro) -> ImuBuffer:
     """Insert one sample and dead-reckon shift/velocity from the previous
     entry (fA.cpp:392-429): x += v dt + 1/2 a dt^2, v += a dt."""
+    return _push_precomp(buf, t, rpy, acc_raw, gyro,
+                         _world_acc(rpy, acc_raw))
+
+
+def _push_precomp(buf: ImuBuffer, t, rpy, acc_raw, gyro,
+                  acc_w) -> ImuBuffer:
+    """_push with the world acceleration supplied by the caller (so
+    push_many can batch the matvec outside its scan)."""
     Q = buf.time.shape[0]
     i = buf.count % Q
     prev = (buf.count - 1) % Q
-    acc_w = _world_acc(rpy, acc_raw)
     dt = t - buf.time[prev]
     fresh = (buf.count > 0) & (dt < 0.1) & (dt > 0)   # scanPeriod guard
     shift = jnp.where(

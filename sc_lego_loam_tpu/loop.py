@@ -27,7 +27,7 @@ from .models import scan_context
 from .ops import icp, voxel
 from .utils import se3
 
-_BIG = jnp.float32(1e18)
+_BIG = 1e18   # python float (module-level jnp constants poison the stream)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -12,7 +12,8 @@ TPU-native design:
   current pose: per iteration, 5-NN in the submap (brute-force MXU tiles),
   line fit by 3x3 eigendecomposition for corners (mO.cpp:1265-1346), plane
   fit by 3x3 normal equations for surfs (mO.cpp:1348-1399), robust weights,
-  degeneracy projection, early exit — all inside lax.while_loop.
+  degeneracy projection, early exit — unrolled cond-gated iterations
+  (see odometry._stage_loop for why not lax.while_loop).
 - The reference's Euler bookkeeping (transformAssociateToMap,
   mO.cpp:397-482) collapses to one matrix expression:
   guess = T_correction @ T_odom.
@@ -44,7 +45,7 @@ def _make_knn5(submap, submap_mask, m):
             q, prep, k=m.knn, max_sq_dist=4.0 * m.max_nn_sq_dist, qcnt=qcnt)
     return lambda q, qcnt=None: knn.knn(q, submap, submap_mask, m.knn)
 
-_BIG = jnp.float32(1e18)
+_BIG = 1e18   # python float (module-level jnp constants poison the stream)
 
 
 class KeyframeStore(NamedTuple):
@@ -215,10 +216,14 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
         nu, dof, s_ok = _surf_geometry(ps_w, submap_s, knn_s, qcnt_s, m)
         return la, lb, c_ok & corner_qmask, nu, dof, s_ok & surf_qmask
 
-    def body(state):
-        T, it, done, Pm, degen, geom = state
-        geom = jax.lax.cond(it % m.research_every == 0,
-                            lambda: research(T), lambda: geom)
+    def iteration(it, state):
+        # it is a PYTHON int: the LM loop is unrolled with lax.cond-gated
+        # iterations instead of lax.while_loop — a scan/while whose body
+        # contains a dot_general permanently degrades all subsequent
+        # dispatches ~14x on this runtime (see odometry._stage_loop).
+        T, Pm, degen, geom = state
+        if it % m.research_every == 0 and it > 0:
+            geom = research(T)
         la, lb, c_ok, nu, dof, s_ok = geom
 
         def resid(delta):
@@ -248,11 +253,9 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
         n_sel = (w > 0).sum()
         delta, H, _ = solver.gauss_newton_step(J, r, w, damping=1e-6)
         # Degeneracy eigh only on iteration 0 (matP computed once,
-        # mO.cpp:1450-1477); cond skips the iterative eigh kernel after.
-        Pm, degen = jax.lax.cond(
-            it == 0,
-            lambda: solver.degeneracy_projector(H, m.eig_threshold),
-            lambda: (Pm, degen))
+        # mO.cpp:1450-1477).
+        if it == 0:
+            Pm, degen = solver.degeneracy_projector(H, m.eig_threshold)
         delta = jnp.where(degen, Pm @ delta, delta)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         # Minimum-correspondence guard (mO.cpp:1410).
@@ -261,16 +264,20 @@ def scan_to_map(config: PipelineConfig, T_guess: jnp.ndarray,
         done = solver.converged(delta[:3], delta[3:], m.delta_rot_deg,
                                 m.delta_trans_cm) | \
             (n_sel < m.min_correspondences)
-        return T, it + 1, done, Pm, degen, geom
+        return done, (T, Pm, degen, geom)
 
-    def cond(state):
-        return (~state[2]) & (state[1] < m.max_iterations)
+    state = (T_guess, jnp.eye(6, dtype=jnp.float32), jnp.bool_(False),
+             research(T_guess))
+    done = jnp.bool_(False)
+    for it in range(m.max_iterations):
+        def live(s, it=it):
+            return iteration(it, s)
 
-    geom0 = research(T_guess)
-    state0 = (T_guess, jnp.int32(0), jnp.bool_(False),
-              jnp.eye(6, dtype=jnp.float32), jnp.bool_(False), geom0)
-    T_out, *_ = jax.lax.while_loop(cond, body, state0)
-    return jnp.where(enough, T_out, T_guess)
+        def frozen(s):
+            return jnp.bool_(True), s
+
+        done, state = jax.lax.cond(done, frozen, live, state)
+    return jnp.where(enough, state[0], T_guess)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig, ScanContextConfig
 
-_BIG = jnp.float32(1e9)
+_BIG = 1e9   # python float (module-level jnp constants poison the stream)
 
 
 class DescriptorBank(NamedTuple):

@@ -17,7 +17,8 @@ Replaces the two-stage 3-DOF Levenberg-Marquardt of the reference
   s-interpolation, fA.cpp:860-883, was deliberately not kept);
 - Jacobians via jax.grad of the residual instead of hand-expanded Euler
   trig; degeneracy guard and robust reweighting as in the reference;
-- the whole LM loop lives in lax.while_loop with early convergence exit.
+- the LM loop is UNROLLED with lax.cond-gated iterations (early exit
+  preserved); see _stage_loop for the runtime reason.
 
 Pose accumulation (C10, fA.cpp:1697-1725) is plain SE(3) composition; the
 Euler "AccumulateRotation/PluginIMURotation" trig is gone.
@@ -36,7 +37,7 @@ from .ops.features import FeatureCloud, FeatureSet
 from .ops import residuals, solver
 from .utils import se3
 
-_BIG = jnp.float32(1e18)
+_BIG = 1e18   # python float (module-level jnp constants poison the stream)
 
 
 class OdometryState(NamedTuple):
@@ -204,16 +205,22 @@ def _stage_loop(xi0, xi_anchor, tube, param_idx, research_fn, resid_fn,
 
     The reference stabilizes its Gauss-Newton with a fixed 5% step
     (matB = -0.05*d, fA.cpp:1321); here we use proper adaptive
-    Levenberg-Marquardt (accept/reject with lambda adaptation), which is
-    equally jit-friendly, robust on weak geometry, and converges in far
-    fewer iterations."""
+    Levenberg-Marquardt (accept/reject with lambda adaptation), which
+    converges in far fewer iterations.
+
+    UNROLLED, not lax.while_loop: on this runtime, executing any
+    scan/while whose body contains a dot_general permanently degrades
+    every subsequent dispatch in the process ~14x (measured: a 0.026 ms
+    dispatch becomes 0.37 ms, op-rich programs ~40x — the round-1..4
+    ~30 fps ceiling).  A Python-unrolled loop with lax.cond-gated
+    iterations (cond is NOT a trigger) keeps the early-exit economics:
+    converged iterations skip their branch at runtime."""
     idx = jnp.asarray(param_idx)
 
-    def body(state):
-        xi, corres, it, _, Pm, degen, lam = state
-        corres = jax.lax.cond(
-            it % ocfg.research_every == 0,
-            lambda: research_fn(xi), lambda: corres)
+    def iteration(it, state):
+        xi, corres, Pm, degen, lam = state
+        if it % ocfg.research_every == 0 and it > 0:
+            corres = research_fn(xi)
 
         r, valid = resid_fn(xi, corres)
         J = jac_fn(xi, corres)                     # (N,6)
@@ -229,12 +236,9 @@ def _stage_loop(xi0, xi_anchor, tube, param_idx, research_fn, resid_fn,
             len(param_idx), dtype=xi.dtype)
         delta3 = -solver.solve_spd(Hd, g)
         # Degeneracy eigendecomposition only on the first iteration (the
-        # reference computes matP once, fA.cpp:1329-1356); cond skips the
-        # iterative eigh kernel on every later iteration.
-        Pm, degen = jax.lax.cond(
-            it == 0,
-            lambda: solver.degeneracy_projector(H, ocfg.eig_threshold),
-            lambda: (Pm, degen))
+        # reference computes matP once, fA.cpp:1329-1356).
+        if it == 0:
+            Pm, degen = solver.degeneracy_projector(H, ocfg.eig_threshold)
         delta3 = jnp.where(degen, Pm @ delta3, delta3)
         delta3 = jnp.where(jnp.isfinite(delta3), delta3, 0.0)
         delta6 = jnp.zeros((6,), xi.dtype).at[idx].set(delta3)
@@ -250,16 +254,20 @@ def _stage_loop(xi0, xi_anchor, tube, param_idx, research_fn, resid_fn,
         done = accept & solver.converged(delta6[:3], delta6[3:],
                                          ocfg.delta_rot_deg,
                                          ocfg.delta_trans_cm)
-        return xi, corres, it + 1, done, Pm, degen, lam
+        return done, (xi, corres, Pm, degen, lam)
 
-    def cond(state):
-        return (~state[3]) & (state[2] < ocfg.max_iterations)
+    state = (xi0, corres0, jnp.eye(len(param_idx), dtype=xi0.dtype),
+             jnp.bool_(False), jnp.float32(1e-3))
+    done = jnp.bool_(False)
+    for it in range(ocfg.max_iterations):
+        def live(s, it=it):
+            return iteration(it, s)
 
-    state0 = (xi0, corres0, jnp.int32(0), jnp.bool_(False),
-              jnp.eye(len(param_idx), dtype=xi0.dtype), jnp.bool_(False),
-              jnp.float32(1e-3))
-    xi, *_ = jax.lax.while_loop(cond, body, state0)
-    return xi
+        def frozen(s):
+            return jnp.bool_(True), s
+
+        done, state = jax.lax.cond(done, frozen, live, state)
+    return state[0]
 
 
 def _clamp_step(delta, ocfg):
@@ -300,16 +308,18 @@ def _joint_loop(xi0, xi_anchor, tube, corner_research, corner_resid,
     corners pull yaw in the *same* iterations that the planes pin z.
 
     ``*_resid(xi, corres) -> (r, valid)`` are EXACT; ``*_jac(xi, corres)``
-    return the (possibly de-skew-factorized) Jacobians."""
+    return the Jacobians.
+
+    UNROLLED with lax.cond-gated iterations, NOT lax.while_loop — see
+    _stage_loop for the runtime pathology this avoids."""
 
     def research(xi):
         return corner_research(xi), surf_research(xi)
 
-    def body(state):
-        xi, corres, it, _, Pm, degen, lam = state
-        corres = jax.lax.cond(
-            it % ocfg.research_every == 0,
-            lambda: research(xi), lambda: corres)
+    def iteration(it, state):
+        xi, corres, Pm, degen, lam = state
+        if it % ocfg.research_every == 0 and it > 0:
+            corres = research(xi)
         cc, sc = corres
 
         rc, cval = corner_resid(xi, cc)
@@ -327,10 +337,8 @@ def _joint_loop(xi0, xi_anchor, tube, corner_research, corner_resid,
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=xi.dtype)
         delta = -solver.solve_spd(Hd, g)
         # Degeneracy eigh only on iteration 0 (see _stage_loop).
-        Pm, degen = jax.lax.cond(
-            it == 0,
-            lambda: solver.degeneracy_projector(H, ocfg.eig_threshold),
-            lambda: (Pm, degen))
+        if it == 0:
+            Pm, degen = solver.degeneracy_projector(H, ocfg.eig_threshold)
         delta = jnp.where(degen, Pm @ delta, delta)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         delta = _clamp_step(delta, ocfg)
@@ -347,15 +355,20 @@ def _joint_loop(xi0, xi_anchor, tube, corner_research, corner_resid,
         done = accept & solver.converged(delta[:3], delta[3:],
                                          ocfg.delta_rot_deg,
                                          ocfg.delta_trans_cm)
-        return xi, corres, it + 1, done, Pm, degen, lam
+        return done, (xi, corres, Pm, degen, lam)
 
-    def cond(state):
-        return (~state[3]) & (state[2] < ocfg.max_iterations)
+    state = (xi0, research(xi0), jnp.eye(6, dtype=xi0.dtype),
+             jnp.bool_(False), jnp.float32(1e-3))
+    done = jnp.bool_(False)
+    for it in range(ocfg.max_iterations):
+        def live(s, it=it):
+            return iteration(it, s)
 
-    state0 = (xi0, research(xi0), jnp.int32(0), jnp.bool_(False),
-              jnp.eye(6, dtype=xi0.dtype), jnp.bool_(False),
-              jnp.float32(1e-3))
-    xi, corres, *_ = jax.lax.while_loop(cond, body, state0)
+        def frozen(s):
+            return jnp.bool_(True), s
+
+        done, state = jax.lax.cond(done, frozen, live, state)
+    xi, corres = state[0], state[1]
     # Valid-correspondence count at the solution (gates trust in the result).
     _, cval = corner_resid(xi, corres[0])
     _, sval = surf_resid(xi, corres[1])
@@ -410,6 +423,13 @@ def step(config: PipelineConfig, state: OdometryState, feats: FeatureSet,
         else:
             sharp, flat = feats.sharp, feats.flat
         corner_t, surf_t = state.corner_last, state.surf_last
+        # Materialization fence: without it XLA fuses the feature-pipeline
+        # producers (frontend -> extract -> subsample) into the while_loop
+        # body below and RECOMPUTES them every LM iteration — measured
+        # +12 ms/scan on the fused perception_step (17.9 ms vs 5.9 ms for
+        # the identical solve on precomputed features).
+        sharp, flat, corner_t, surf_t = jax.lax.optimization_barrier(
+            (sharp, flat, corner_t, surf_t))
 
         # The solver is purely rigid (see _apply): input clouds are either
         # instantaneous or already de-skewed into the scan-end frame by

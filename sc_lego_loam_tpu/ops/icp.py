@@ -63,23 +63,22 @@ def align(config: PipelineConfig, src: jnp.ndarray, src_mask: jnp.ndarray,
     qcnt = src_mask.sum().astype(jnp.int32)[None]
     nn = _make_nn1(dst, dst_mask)
 
-    def body(state):
-        T, it, done = state
+    def iteration(T):
         p = se3.transform_points(T, src[None])[0]
         idx, sqd = nn(p, qcnt)
         w = src_mask.astype(jnp.float32)
         dT = se3.best_fit_transform(p, dst[idx], w)
-        T_new = dT @ T
-        inc = se3.se3_log(dT)
-        done = jnp.linalg.norm(inc) < lcfg.icp_eps
-        return T_new, it + 1, done
+        done = jnp.linalg.norm(se3.se3_log(dT)) < lcfg.icp_eps
+        return done, dT @ T
 
-    def cond(state):
-        _, it, done = state
-        return (~done) & (it < lcfg.icp_max_iterations)
-
-    T, _, _ = jax.lax.while_loop(
-        cond, body, (T0, jnp.int32(0), jnp.bool_(False)))
+    # Unrolled with lax.cond-gated iterations, NOT lax.while_loop: a
+    # scan/while containing a dot_general permanently degrades all
+    # subsequent dispatches on this runtime (see odometry._stage_loop).
+    T = T0
+    done = jnp.bool_(False)
+    for _ in range(lcfg.icp_max_iterations):
+        done, T = jax.lax.cond(
+            done, lambda t: (jnp.bool_(True), t), iteration, T)
 
     p = se3.transform_points(T, src[None])[0]
     _, sqd = nn(p, qcnt)

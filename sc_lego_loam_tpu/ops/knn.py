@@ -5,8 +5,14 @@ TPU-native: tiled brute force — distance blocks computed on the MXU via the
 ||q||^2 + ||t||^2 - 2 q.t expansion, reduced with lax.top_k, streamed over
 query chunks with lax.map so the full (Q,T) matrix never materializes.
 Feature clouds are small (1e3-1e5 points), so brute force beats tree
-traversal on this hardware by a wide margin; a Pallas fused kernel can
-replace the inner block later without changing this interface.
+traversal on this hardware by a wide margin.
+
+NOT used on the TPU hot path: mapping/_make_knn5 and icp._make_nn1 route
+to the fused Pallas kernel there (ops/pallas_knn).  Besides speed, the
+lax.map here contains a dot_general, which on the axon runtime
+permanently degrades all subsequent dispatches once executed (see
+odometry._stage_loop) — this XLA path is for CPU tests and the
+SCLOAM_NO_PALLAS exact-NN A/B only.
 """
 
 from __future__ import annotations
@@ -14,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e18)
+_BIG = 1e18   # python float (module-level jnp constants poison the stream)
 
 
 def _fit_chunk(Q: int, chunk: int) -> int:

@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from ..config import LidarConfig
 
-INVALID_RANGE = jnp.float32(0.0)   # rangeMat init is FLT_MAX in the reference;
+INVALID_RANGE = 0.0   # python float: a module-level jnp constant is a
+                      # DEVICE value; jits capturing one permanently
+                      # degrade the axon dispatch stream (PERF.md).
+                      # rangeMat init is FLT_MAX in the reference;
                                    # we use 0 + a validity mask instead.
 
 

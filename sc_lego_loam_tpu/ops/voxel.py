@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_SENT = jnp.int32(2**30)
+_SENT = 2**30   # python int (module-level jnp constants poison the stream)
 
 
 def voxel_keys(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import PipelineConfig
 from ..models import scan_context
 
-_BIG = jnp.float32(1e9)
+_BIG = 1e9   # python float (module-level jnp constants poison the stream)
 
 
 def _local_best(config, query, desc_shard, base_idx, count, exclude_lo):

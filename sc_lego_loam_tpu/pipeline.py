@@ -377,16 +377,6 @@ class SlamEngine:
         self._scans_fed = 0
         self._warned_kf_cap = False
         self._warned_loop_cap = False
-        # Cap-overflow visibility without hot-path syncs: far from the
-        # caps, a cadence check (each one costs a device sync).  Once the
-        # host-side tick counters say overflow is POSSIBLE (inserts are
-        # bounded by mapping ticks; loop factors by 2 per loop tick), the
-        # counters are fetched as LAZY device scalars every mapping tick
-        # and converted one tick later — by then the device has computed
-        # them, so the warning fires within ~one mapping tick of the
-        # overflowing insert at ~zero stall (VERDICT r4 weak #3).
-        self.cap_check_every = 256
-        self._pending_caps: list = []
 
     # ------------------------------------------------------------------ #
     # Device-state views (kept for the export/checkpoint API and tests).
@@ -505,27 +495,49 @@ class SlamEngine:
                     self.m = loop_step(cfg, self.m)
                     self._correction = self.m.correction
 
-        # Near-cap monitoring (see __init__): enqueue lazy counter refs at
-        # the tick that could overflow, convert them a tick later.
+        # Cap monitoring WITHOUT device reads: process_scan performs ZERO
+        # host<->device transfers, ever — on this runtime the first
+        # transfer permanently degrades every subsequent dispatch ~14-40x
+        # (PERF.md), so even a rare counter fetch would cost more than it
+        # warns about.  The host-side tick counters BOUND the device
+        # counters (keyframe inserts <= mapping ticks; loop factors <= 2
+        # per loop tick), so overflow risk is detectable transfer-free
+        # within one mapping tick; the exact device counters are reported
+        # by trajectory_array()/_check_caps() after the run.
         if not (self._warned_kf_cap and self._warned_loop_cap):
-            loop_ticks = self.map_ticks // max(cfg.loop.check_every_ticks, 1)
-            danger = (not self._warned_kf_cap
-                      and self.map_ticks >= cfg.cap.max_keyframes) or \
-                     (not self._warned_loop_cap
-                      and 2 * loop_ticks >= cfg.posegraph.max_loops)
-            if danger:
-                self._pending_caps.append(
-                    (self.map_ticks, self.m.kf_dropped, self.m.loops.count))
-            while self._pending_caps and \
-                    self.map_ticks > self._pending_caps[0][0]:
-                _, kd, lc = self._pending_caps.pop(0)
-                self._check_cap_values(int(kd), int(lc))
-            if self._scans_fed % self.cap_check_every == 0:
-                self._check_caps()
+            self._check_caps_host_bound()
         return fused
 
+    def _check_caps_host_bound(self):
+        """Warn from host-side tick counters alone (no transfers): fires
+        within one mapping tick of the earliest possible overflow."""
+        import warnings
+        cfg = self.config
+        if not self._warned_kf_cap and \
+                self.map_ticks >= cfg.cap.max_keyframes:
+            warnings.warn(
+                f"keyframe bank may be full ({cfg.cap.max_keyframes}): "
+                f"{self.map_ticks} mapping ticks elapsed; new keyframes "
+                "past the cap are dropped.  Exact dropped count is "
+                "reported at trajectory_array() (a mid-run fetch would "
+                "degrade the dispatch stream); raise "
+                "CapacityConfig.max_keyframes", RuntimeWarning)
+            self._warned_kf_cap = True
+        loop_ticks = self.map_ticks // max(cfg.loop.check_every_ticks, 1)
+        if not self._warned_loop_cap and \
+                2 * loop_ticks > cfg.posegraph.max_loops:
+            warnings.warn(
+                f"loop-factor bank may be full "
+                f"({cfg.posegraph.max_loops}): lowest-information factors "
+                "are overwritten past the cap; raise "
+                "PoseGraphConfig.max_loops", RuntimeWarning)
+            self._warned_loop_cap = True
+
     def _check_caps(self):
-        """Fetch the cap counters (one device sync) and warn if needed."""
+        """Fetch the cap counters (one device transfer — run-ending on
+        this runtime, see process_scan) and warn exactly."""
+        self._warned_kf_cap = False
+        self._warned_loop_cap = False
         self._check_cap_values(int(self.m.kf_dropped),
                                int(self.m.loops.count))
 

@@ -180,8 +180,7 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
     J_fn = jax.vmap(jax.jacfwd(_factor_residual), in_axes=(None, 0, 0, 0))
     eyeL = jnp.eye(6 * L, dtype=jnp.float32)
 
-    def gn_iter(carry):
-        X, it, _ = carry
+    def gn_iter(X):
 
         # ---- linearize: odometry chain (factor f couples nodes f, f+1) --
         r = r_fn(zero12, X[:-1], X[1:], odom_z[1:])      # (K-1,6)
@@ -319,14 +318,17 @@ def solve(config: PipelineConfig, poses6: jnp.ndarray, count: jnp.ndarray,
         s_best = scales[jnp.argmin(costs)]
         upd = s_best * upd
         X = se3.se3_exp(upd) @ X
-        return X, it + 1, jnp.linalg.norm(upd)
+        return jnp.linalg.norm(upd) <= 1e-4, X
 
-    def gn_cond(carry):
-        _, it, upd_norm = carry
-        return (it < pg.max_gn_iterations) & (upd_norm > 1e-4)
-
-    X0 = se3.pose6_to_mat(poses6)
-    X_opt, _, _ = jax.lax.while_loop(
-        gn_cond, gn_iter, (X0, jnp.int32(0), jnp.float32(1.0)))
-    out = se3.mat_to_pose6(X_opt)
+    # Unrolled with lax.cond-gated iterations, NOT lax.while_loop: a
+    # scan/while containing a dot_general permanently degrades every
+    # subsequent dispatch on this runtime (see odometry._stage_loop) —
+    # and this solve runs inside loop_step, so one while-based re-solve
+    # would poison the whole engine's dispatch stream.
+    X = se3.pose6_to_mat(poses6)
+    done = jnp.bool_(False)
+    for _ in range(pg.max_gn_iterations):
+        done, X = jax.lax.cond(
+            done, lambda x: (jnp.bool_(True), x), gn_iter, X)
+    out = se3.mat_to_pose6(X)
     return jnp.where(node_ok[:, None], out, poses6)

@@ -1,11 +1,14 @@
 """Real-data code-path validation: motion-distorted scans + deskew=True.
 
 MulRan runs use `mulran_engine_config()` — unordered scatter projection +
-motion-interpolated de-skew (`OdometryConfig.deskew=True`, the reference's
-TransformToStart model, fA.cpp:860-883).  No dataset ships with this box,
-so the path is exercised on SYNTHETIC motion-distorted scans: each azimuth
-column raycast from its capture-time pose (utils/synthetic.raycast_skewed),
-which is exactly the distortion a spinning lidar produces.
+carried-twist pre-de-skew (`OdometryConfig.deskew=True`:
+pipeline._pre_deskew de-skews each cloud into the scan-end frame with the
+previous solved motion before the rigid solver sees it; see
+odometry._apply for why the reference's in-solver TransformToStart model
+was replaced).  No dataset ships with this box, so the path is exercised
+on SYNTHETIC motion-distorted scans: each azimuth column raycast from its
+capture-time pose (utils/synthetic.raycast_skewed), which is exactly the
+distortion a spinning lidar produces.
 
 Gate (VERDICT r2 item 2): distorted-scan figure-8 ATE < 2x the
 instantaneous-scan ATE on the same trajectory.
@@ -27,7 +30,7 @@ def _cfg(deskew: bool):
     cfg = tiny_test_config()
     return cfg.replace(
         # The mulran_engine_config semantics: unordered scatter projection
-        # + motion-interpolated de-skew in the odometry solver.
+        # + carried-twist pre-de-skew before the rigid solver.
         lidar=dataclasses.replace(cfg.lidar, ordered=False),
         odom=dataclasses.replace(cfg.odom, deskew=deskew),
     )

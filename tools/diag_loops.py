@@ -33,10 +33,16 @@ def main():
     from sc_lego_loam_tpu.utils import evaluate, se3
 
     cfg = synthetic_config()
+    clover = os.environ.get("DIAG_CLOVER", "0") == "1"
     for seed in seeds:
-        scans, valids, gt = bench.get_sequence(
-            cfg.lidar, bench.N_SCANS, trajectory="figure8", noise=0.01,
-            seed=seed, shuffle=False, radius=30.0, loops=1.05)
+        if clover:
+            scans, valids, gt = bench.get_sequence(
+                cfg.lidar, bench.CLOVER_SCANS, trajectory="cloverleaf",
+                noise=0.01, seed=seed, shuffle=False, radius=32.0, petals=4)
+        else:
+            scans, valids, gt = bench.get_sequence(
+                cfg.lidar, bench.N_SCANS, trajectory="figure8", noise=0.01,
+                seed=seed, shuffle=False, radius=30.0, loops=1.05)
         eng = SlamEngine(cfg)
         print(f"\n===== seed {seed} =====")
         prev_ticks = 0
@@ -92,6 +98,19 @@ def main():
         ate = evaluate.ate_rmse(est, gt[:len(est)])
         print(f"seed {seed}: ate={ate:.3f} loops_closed="
               f"{int(eng.loops_closed)} kf={int(eng.map.kf.count)}")
+        # Per accepted factor: ground-truth relative-translation error
+        # (the bench's truth gate, loop_precision_recall).
+        loops = eng.loops
+        kf_times = np.asarray(eng.map.kf.times)
+        for k in range(min(int(loops.count), loops.i.shape[0])):
+            a, b = int(loops.i[k]), int(loops.j[k])
+            sa = min(int(round(float(kf_times[a]) / 0.1)), len(gt) - 1)
+            sb = min(int(round(float(kf_times[b]) / 0.1)), len(gt) - 1)
+            z_gt = np.linalg.inv(gt[sa]) @ gt[sb]
+            err = np.linalg.norm(np.asarray(loops.z[k])[:3, 3]
+                                 - z_gt[:3, 3])
+            print(f"  factor {k:2d}: kf {a:3d}->{b:3d} "
+                  f"gt-err={err:6.2f} m {'TRUE' if err < 2.0 else 'FALSE'}")
 
 
 if __name__ == "__main__":

@@ -57,11 +57,11 @@ def main():
     f = jax.jit(lambda c, x: jax.lax.scan(body_percep, c, x))
     st = jax.tree.map(jnp.copy, eng.p)
     out, _ = f(st, xs)
-    np.asarray(out.scan_i)
-    t0 = time.time()
-    for _ in range(3):
+    jax.block_until_ready(out.scan_i)   # NO transfer: a device->host copy
+    t0 = time.time()                    # permanently degrades dispatch
+    for _ in range(3):                  # (PERF.md "transfer cliff")
         out, _ = f(st, xs)
-    np.asarray(out.scan_i)
+    jax.block_until_ready(out.scan_i)
     print(f"{'perception_step':36s} {(time.time()-t0)/3/N*1e3:8.3f} ms/scan",
           flush=True)
 
@@ -81,11 +81,11 @@ def main():
     f = jax.jit(lambda c, x: jax.lax.scan(body_map, c, x))
     mst = jax.tree.map(jnp.copy, eng.m)
     out, _ = f(mst, xs)
-    np.asarray(out.kf.count)
+    jax.block_until_ready(out.kf.count)
     t0 = time.time()
     for _ in range(3):
         out, _ = f(mst, xs)
-    np.asarray(out.kf.count)
+    jax.block_until_ready(out.kf.count)
     print(f"{'mapping_step':36s} {(time.time()-t0)/3/N*1e3:8.3f} ms/tick",
           flush=True)
 
@@ -95,11 +95,11 @@ def main():
     f = jax.jit(lambda c, x: jax.lax.scan(body_loop, c, x))
     mst = jax.tree.map(jnp.copy, eng.m)
     out, _ = f(mst, jnp.zeros((N, 1)))
-    np.asarray(out.kf.count)
+    jax.block_until_ready(out.kf.count)
     t0 = time.time()
     for _ in range(3):
         out, _ = f(mst, jnp.zeros((N, 1)))
-    np.asarray(out.kf.count)
+    jax.block_until_ready(out.kf.count)
     print(f"{'loop_step (no close)':36s} {(time.time()-t0)/3/N*1e3:8.3f} "
           "ms/tick", flush=True)
 

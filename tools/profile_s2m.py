@@ -25,11 +25,11 @@ N = 8
 
 def timed(name, f, carry0, xs, n_rep=3):
     out, _ = f(carry0, xs)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    jax.block_until_ready(out)   # no transfers: see PERF.md transfer cliff
     t0 = time.time()
     for _ in range(n_rep):
         out, _ = f(carry0, xs)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    jax.block_until_ready(out)
     print(f"{name:44s} {(time.time()-t0)/n_rep/N*1e3:8.3f} ms/it",
           flush=True)
 
