@@ -62,6 +62,10 @@ class KeyframeStore(NamedTuple):
     odom_z: jnp.ndarray        # (K,4,4) pose-graph odometry factors:
                                # odom_z[k] = X_{k-1}^-1 X_k at insertion
                                # (k>=1); odom_z[0] = prior pose of node 0
+    odom_pose: jnp.ndarray     # (K,4,4) raw ODOMETRY pose at insertion —
+                               # anchors export-time retro-correction of
+                               # the per-scan trajectory after loop
+                               # closures (pipeline.trajectory_array)
     count: jnp.ndarray         # () int32 high-water
 
 
@@ -86,6 +90,8 @@ def init_state(config: PipelineConfig) -> MapState:
         outlier_mask=jnp.zeros((K, cap.kf_outlier_pad), bool),
         odom_z=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                 (K, 4, 4)).copy(),
+        odom_pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                   (K, 4, 4)).copy(),
         count=jnp.int32(0),
     )
     eye = jnp.eye(4, dtype=jnp.float32)
@@ -304,7 +310,8 @@ def insert_keyframe(config: PipelineConfig, kf: KeyframeStore,
                     pose: jnp.ndarray, time: jnp.ndarray,
                     corner: jnp.ndarray, corner_mask: jnp.ndarray,
                     surf: jnp.ndarray, surf_mask: jnp.ndarray,
-                    outlier: jnp.ndarray, outlier_mask: jnp.ndarray):
+                    outlier: jnp.ndarray, outlier_mask: jnp.ndarray,
+                    odom_pose: jnp.ndarray | None = None):
     """Guarded keyframe append (saveKeyFramesAndFactor, mO.cpp:1525-1639).
     Clouds are stored in the sensor frame; pose as a 6-vec.  Also records
     the pose-graph odometry factor (prior for node 0, between otherwise,
@@ -328,8 +335,11 @@ def insert_keyframe(config: PipelineConfig, kf: KeyframeStore,
 
     prev = se3.pose6_to_mat(kf.poses6[jnp.maximum(i - 1, 0)])
     z = jnp.where(i == 0, pose, se3.mat_inv(prev) @ pose)
+    if odom_pose is None:
+        odom_pose = pose
     kf = kf._replace(
         odom_z=put(kf.odom_z, z),
+        odom_pose=put(kf.odom_pose, odom_pose),
         poses6=put(kf.poses6, se3.mat_to_pose6(pose)),
         times=put(kf.times, time),
         corner=put(kf.corner, corner),

@@ -109,7 +109,8 @@ class BatchEngine:
                 ins = mapping.should_insert_keyframe(
                     cfg, st.last_kf_pose, newp)
                 kf, ins = mapping.insert_keyframe(
-                    cfg, st.kf, ins, newp, t, c, cm, s, sm, o, om)
+                    cfg, st.kf, ins, newp, t, c, cm, s, sm, o, om,
+                    odom_pose=pose)
                 st = st._replace(kf=kf, pose=newp, correction=corr,
                                  last_kf_pose=jnp.where(ins, newp,
                                                         st.last_kf_pose))
@@ -258,6 +259,29 @@ def verify_cross_loops(config: PipelineConfig, kf_a, kf_b,
         return Z, fitness, accept
 
     return jax.vmap(one)(ia, ib, yaw, ok)
+
+
+@jax.jit
+def anchor_sequence(poses6_b, count_b, pose6_a, Z, ib):
+    """Rigidly re-anchor sequence B so the cross factor (a, b=ib, Z) is
+    satisfied exactly: poses_b <- C @ poses_b with
+    C = (X_a @ Z) @ X_b(ib)^-1.
+
+    This is the INITIALIZATION step before merge_solve: its Cauchy-robust
+    GN treats residuals far outside the kernel scale as outliers, so an
+    unmerged placement tens of meters (or a quarter-turn) off leaves every
+    cross factor downweighted to ~0 and the backtracking line search at
+    scale 0 (measured in the r5 config-4 intra-loop test: 34 m offset,
+    zero movement).  One rigid re-anchor from the single best cross
+    factor puts the graph inside the basin; merge_solve then distributes
+    the residual consistently.  The reference has no analog (it never
+    merges sequences)."""
+    Xb = se3.pose6_to_mat(poses6_b)
+    target = se3.pose6_to_mat(pose6_a) @ Z
+    C = target @ se3.mat_inv(Xb[ib])
+    out = se3.mat_to_pose6(C @ Xb)
+    ok = jnp.arange(poses6_b.shape[0]) < count_b
+    return jnp.where(ok[:, None], out, poses6_b)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -144,6 +144,11 @@ class PerceptionState(NamedTuple):
     imu: imu_mod.ImuBuffer
     # Fused-pose trajectory ring buffer (the /integrated_to_init stream).
     traj: jnp.ndarray          # (max_scans, 4, 4)
+    # Raw odometry poses per scan: with the keyframe store's odom anchors
+    # these let trajectory_array() retro-correct the whole history through
+    # the post-loop-closure pose graph at export time (the reference's
+    # exported trajectory IS the corrected key-pose path, mO.cpp:756-781).
+    odom_traj: jnp.ndarray     # (max_scans, 4, 4)
     traj_t: jnp.ndarray        # (max_scans,)
     scan_i: jnp.ndarray        # () int32
 
@@ -169,6 +174,8 @@ def init_perception_state(config: PipelineConfig) -> PerceptionState:
         imu=imu_mod.init_buffer(config.imu.que_len),
         traj=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                               (cap.max_scans, 4, 4)).copy(),
+        odom_traj=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                   (cap.max_scans, 4, 4)).copy(),
         traj_t=jnp.zeros((cap.max_scans,), jnp.float32),
         scan_i=jnp.int32(0),
     )
@@ -230,6 +237,7 @@ def perception_step(config: PipelineConfig, state: PerceptionState,
     state = PerceptionState(
         odo=odo, imu=state.imu,
         traj=state.traj.at[i].set(fused),
+        odom_traj=state.odom_traj.at[i].set(odom_pose),
         traj_t=state.traj_t.at[i].set(t),
         scan_i=state.scan_i + 1)
     return state, odom_pose, out_pts, out_mask, fused
@@ -277,7 +285,8 @@ def mapping_step(config: PipelineConfig, mst: MapperState,
     # Keyframe decision (mO.cpp:1531-1538) + guarded insert.
     should = mapping.should_insert_keyframe(cfg, mst.last_kf_pose, pose)
     kf, inserted = mapping.insert_keyframe(
-        cfg, mst.kf, should, pose, t, c, cm, s, sm, o, om)
+        cfg, mst.kf, should, pose, t, c, cm, s, sm, o, om,
+        odom_pose=odom_pose)
     desc = scan_context.make_descriptor(points, mask, cfg.sc)
     bank = scan_context.append(mst.bank, desc, cfg.cap.max_keyframes,
                                should)
@@ -563,11 +572,40 @@ class SlamEngine:
 
     # ------------------------------------------------------------------ #
 
-    def trajectory_array(self):
-        """(N,4,4) fused trajectory so far (one device sync)."""
+    def trajectory_array(self, retro_correct: bool = True):
+        """(N,4,4) trajectory so far (one device sync; on this runtime the
+        first transfer also ends fast dispatch — export is end-of-run).
+
+        ``retro_correct=True`` re-expresses every scan through the
+        CURRENT (post-loop-closure) keyframe graph: scan i anchored at
+        the last keyframe k at-or-before it becomes
+        X_k_corrected @ odom_k^-1 @ odom_i.  This is the reference's
+        export semantics — its saved trajectory is the iSAM-corrected
+        key-pose path (correctPoses + mO.cpp:756-781) — where the raw
+        fused stream keeps whatever drift each pose was published with.
+        ``False`` returns the as-published fused stream
+        (/integrated_to_init parity)."""
         n = int(self.p.scan_i)
         self._check_caps()
-        return np.asarray(self.p.traj[:n])
+        fused = np.asarray(self.p.traj[:n])
+        if not retro_correct or n == 0:
+            return fused
+        kf_n = int(self.m.kf.count)
+        if kf_n == 0:
+            return fused
+        kf_t = np.asarray(self.m.kf.times[:kf_n])
+        kf_pose = np.asarray(
+            se3.pose6_to_mat(self.m.kf.poses6[:kf_n]))
+        kf_odom = np.asarray(self.m.kf.odom_pose[:kf_n])
+        odom = np.asarray(self.p.odom_traj[:n])
+        t = np.asarray(self.p.traj_t[:n])
+        k = np.searchsorted(kf_t, t + 1e-6) - 1          # last kf <= t_i
+        out = fused.copy()
+        ok = k >= 0
+        ki = np.clip(k, 0, kf_n - 1)
+        anchor = kf_pose[ki] @ np.linalg.inv(kf_odom[ki])
+        out[ok] = (anchor[ok] @ odom[ok])
+        return out
 
     def trajectory_times(self):
         n = int(self.p.scan_i)
