@@ -302,11 +302,24 @@ class LoopClosureConfig:
     # README.md:36-38) and measures ~0.69 loop precision on our revisit
     # bench; a mean-square gate passes alignments where easy ground
     # matches drag the average under threshold while the structure
-    # misaligns.  0.85 within 1 m keeps every true cloverleaf factor
-    # (true factors measure 0.93-0.99) and rejects the spurious ones
-    # (0.55-0.80), bench-verified at recall 1.0.
+    # misaligns.  Cloverleaf evidence (tools/diag_loops.py): true factors
+    # measure 0.91-0.96, genuinely bad alignments 0.39-0.66; 0.85 keeps
+    # recall 1.0.  Aliased matches that still pass (0.857-0.872) are
+    # caught by the rotation gate below; together precision is 1.0 at
+    # recall 1.0 on both bench paths (ACCURACY.md par.3).
     inlier_sq_dist: float = 1.0
     min_inlier_ratio: float = 0.85
+    # Orientation-plausibility gate: reject a factor whose implied
+    # ROTATION correction vs the current graph exceeds this (rad).  A
+    # true loop's rotation residual is the accumulated heading drift
+    # (fractions of a degree to a few degrees for lidar odometry); an
+    # aliased match between self-similar places implies a structural
+    # rotation (cloverleaf measured: true factors < 2 deg, the two
+    # surviving false factors ~90 deg petal mismatches at 30/49 m
+    # translation error while passing fitness 0.95-1.06 and inliers
+    # 0.857-0.872).  Translation residual is NOT gated — large
+    # translation drift is exactly what loops exist to fix.
+    max_rot_residual: float = 0.35
     icp_max_iterations: int = 15         # converged long before the
     # reference's 100 (mO.cpp:1007) on keyframe-vs-history submaps; each
     # iteration is an (8k x 32k) NN pass, so the budget is the cost knob

@@ -121,11 +121,19 @@ def verify(config: PipelineConfig, kf: KeyframeStore,
     x_cand = se3.pose6_to_mat(kf.poses6[cand_idx])
     x_true = dT @ place_pose
     Z = se3.mat_inv(x_true) @ x_cand
-    # Fitness gate (utility.h:139) + overlap gate (see ops/icp.align and
-    # LoopClosureConfig.min_inlier_ratio — the precision improvement over
-    # the reference's single permissive gate).
+    # Three gates (the reference has only the first, utility.h:139 — its
+    # measured loop precision is ~0.69):
+    # 1. mean-square fitness; 2. overlap (ops/icp.align inlier_ratio);
+    # 3. orientation plausibility — the factor's implied ROTATION vs the
+    #    current graph must be within accumulated-heading-drift range
+    #    (LoopClosureConfig.max_rot_residual; kills aliased matches
+    #    between self-similar places that ICP aligns at a structurally
+    #    wrong yaw).
+    x_cur = se3.pose6_to_mat(kf.poses6[cur_idx])
+    r = se3.se3_log(se3.mat_inv(Z) @ se3.mat_inv(x_cur) @ x_cand)
+    rot_ok = jnp.linalg.norm(r[:3]) <= config.loop.max_rot_residual
     accept = (fitness < config.loop.fitness_threshold) & \
-             (inliers >= config.loop.min_inlier_ratio)
+             (inliers >= config.loop.min_inlier_ratio) & rot_ok
     return Z, fitness, accept
 
 
